@@ -1,0 +1,36 @@
+"""Pooling helpers for channels-last feature maps."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _bin_bounds(in_size: int, out_size: int):
+    """torch-style adaptive pooling bin boundaries."""
+    starts = [(i * in_size) // out_size for i in range(out_size)]
+    ends = [-(-(i + 1) * in_size // out_size) for i in range(out_size)]
+    return starts, ends
+
+
+def adaptive_avg_pool2d(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """NHWC adaptive average pooling matching torch AdaptiveAvgPool2d bins."""
+    B, H, W, C = x.shape
+    oh, ow = out_hw
+    if H % oh == 0 and W % ow == 0:
+        return x.reshape(B, oh, H // oh, ow, W // ow, C).mean(axis=(2, 4))
+    hs, he = _bin_bounds(H, oh)
+    ws, we = _bin_bounds(W, ow)
+    rows = [jnp.stack([x[:, hs[i]:he[i], ws[j]:we[j], :].mean(axis=(1, 2))
+                       for j in range(ow)], axis=1) for i in range(oh)]
+    return jnp.stack(rows, axis=1)
+
+
+def adaptive_max_pool2d(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    B, H, W, C = x.shape
+    oh, ow = out_hw
+    if H % oh == 0 and W % ow == 0:
+        return x.reshape(B, oh, H // oh, ow, W // ow, C).max(axis=(2, 4))
+    hs, he = _bin_bounds(H, oh)
+    ws, we = _bin_bounds(W, ow)
+    rows = [jnp.stack([x[:, hs[i]:he[i], ws[j]:we[j], :].max(axis=(1, 2))
+                       for j in range(ow)], axis=1) for i in range(oh)]
+    return jnp.stack(rows, axis=1)

@@ -1,0 +1,168 @@
+"""Projection / cluster heads for contrastive and MI objectives.
+
+Capability match for contrastyou/projectors/heads.py:12-200 and nn.py:8-86:
+- ``ProjectionHead``: pooled global embedding -> (linear | mlp) -> optional L2
+  normalize (for encoder InfoNCE);
+- ``DenseProjectionHead``: 1x1-conv (linear | mlp) -> adaptive pool to a fixed
+  grid -> optional normalize (for decoder dense InfoNCE);
+- ``ClusterHead`` / ``DenseClusterHead``: multi-subhead temperature-softmax
+  cluster distributions (for IIC / discrete MI);
+- ``CrossCorrelationProjector``: dense multi-subhead distribution head.
+
+TPU-native design: subheads are vmapped over a leading subhead axis — one
+batched matmul/conv on the MXU instead of a Python list of tiny modules; heads
+return stacked ``[S, ...]`` arrays rather than lists.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .pooling import adaptive_avg_pool2d, adaptive_max_pool2d
+
+__all__ = ["ProjectionHead", "DenseProjectionHead", "ClusterHead",
+           "DenseClusterHead", "CrossCorrelationProjector"]
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+def _pool(x, pool_name: str, spatial_size: Tuple[int, int]):
+    if pool_name == "adaptive_avg":
+        return adaptive_avg_pool2d(x, spatial_size)
+    if pool_name == "adaptive_max":
+        return adaptive_max_pool2d(x, spatial_size)
+    if pool_name == "none":
+        return x
+    raise ValueError(pool_name)
+
+
+class ProjectionHead(nn.Module):
+    """Global pooled MLP projector (ref: heads.py:82-100)."""
+    output_dim: int = 256
+    hidden_dim: int = 256
+    head_type: str = "mlp"  # "mlp" | "linear"
+    normalize: bool = True
+    pool_name: str = "adaptive_avg"
+    spatial_size: Tuple[int, int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
+        x = _pool(features, self.pool_name, self.spatial_size)
+        x = x.reshape(x.shape[0], -1)
+        if self.head_type == "mlp":
+            x = nn.Dense(self.hidden_dim)(x)
+            x = nn.leaky_relu(x, 0.01)
+        x = nn.Dense(self.output_dim)(x)
+        return l2_normalize(x) if self.normalize else x
+
+
+class DenseProjectionHead(nn.Module):
+    """Pixel-wise projector: 1x1 convs then pool to a coarse grid
+    (ref: heads.py:104-127)."""
+    output_dim: int = 256
+    hidden_dim: int = 128
+    head_type: str = "mlp"
+    normalize: bool = True
+    pool_name: str = "adaptive_avg"
+    spatial_size: Tuple[int, int] = (16, 16)
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
+        x = features
+        if self.head_type == "mlp":
+            x = nn.Conv(self.hidden_dim, (1, 1))(x)
+            x = nn.leaky_relu(x, 0.01)
+        x = nn.Conv(self.output_dim, (1, 1))(x)
+        x = _pool(x, self.pool_name, self.spatial_size)
+        return l2_normalize(x, axis=-1) if self.normalize else x
+
+
+class _SubHead(nn.Module):
+    """One cluster subhead: pooled (linear|mlp) -> softmax with temperature."""
+    num_clusters: int
+    head_type: str
+    normalize: bool
+    T: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.head_type == "mlp":
+            x = nn.Dense(128)(x)
+            x = nn.leaky_relu(x, 0.01)
+        x = nn.Dense(self.num_clusters)(x)
+        if self.normalize:
+            x = l2_normalize(x)
+        return nn.softmax(x / self.T, axis=-1)
+
+
+class ClusterHead(nn.Module):
+    """Multi-subhead global cluster distributions -> [S, B, K]
+    (ref: heads.py:131-156)."""
+    num_clusters: int = 5
+    num_subheads: int = 10
+    head_type: str = "linear"
+    T: float = 1.0
+    normalize: bool = False
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
+        x = adaptive_avg_pool2d(features, (1, 1)).reshape(features.shape[0], -1)
+        Vmapped = nn.vmap(_SubHead, in_axes=None, out_axes=0,
+                          axis_size=self.num_subheads,
+                          variable_axes={"params": 0},
+                          split_rngs={"params": True})
+        return Vmapped(self.num_clusters, self.head_type, self.normalize, self.T)(x)
+
+
+class _DenseSubHead(nn.Module):
+    num_clusters: int
+    hidden_dim: int
+    head_type: str
+    normalize: bool
+    T: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.head_type == "mlp":
+            x = nn.Conv(self.hidden_dim, (1, 1))(x)
+            x = nn.leaky_relu(x, 0.01)
+        x = nn.Conv(self.num_clusters, (1, 1))(x)
+        if self.normalize:
+            x = l2_normalize(x, axis=-1)
+        return nn.softmax(x / self.T, axis=-1)
+
+
+class DenseClusterHead(nn.Module):
+    """Multi-subhead per-pixel cluster distributions -> [S, B, H, W, K]
+    (ref: heads.py:160-181)."""
+    num_clusters: int = 10
+    hidden_dim: int = 64
+    num_subheads: int = 10
+    head_type: str = "linear"
+    T: float = 1.0
+    normalize: bool = False
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
+        Vmapped = nn.vmap(_DenseSubHead, in_axes=None, out_axes=0,
+                          axis_size=self.num_subheads,
+                          variable_axes={"params": 0},
+                          split_rngs={"params": True})
+        return Vmapped(self.num_clusters, self.hidden_dim, self.head_type,
+                       self.normalize, self.T)(features)
+
+
+class CrossCorrelationProjector(DenseClusterHead):
+    """Dense over-segmented distribution head used by the cross-correlation
+    block (ref: heads.py:185-220); same structure as DenseClusterHead with
+    hidden_dim 128 / 1 subhead defaults."""
+    num_clusters: int = 20
+    hidden_dim: int = 128
+    num_subheads: int = 1
+    head_type: str = "mlp"
+    T: float = 1.0
+    normalize: bool = False

@@ -1,0 +1,187 @@
+"""Named-layer U-Net, TPU-native (flax.linen, NHWC, bf16 compute).
+
+Capability match for contrastyou/arch/unet.py:49-261:
+- identical layer registry: ``encoder_names``/``decoder_names``/``arch_elements``
+  and ``layer_dimension`` width table (widths = table/16 * max_channel);
+- partial forward ``until=<name>`` for pretraining truncation (unet.py:105-177);
+- feature taps: instead of PyTorch forward hooks (arch/utils.py:33-159), the
+  forward takes a static ``taps`` tuple of layer names and returns their
+  activations — no mutable hook state, fully jit-compatible;
+- ``switch_grad`` / ``switch_bn_track`` context managers become pure data:
+  `trainable_mask()` produces an optax-compatible bool PyTree over the named
+  top-level param groups (see masks.py), and batch-stat updating is decided by
+  the caller keeping or discarding the returned ``batch_stats`` collection.
+
+TPU design notes: convolutions are NHWC (XLA's native TPU conv layout),
+compute dtype defaults to bf16 with f32 params and f32 BatchNorm statistics;
+2x nearest upsampling is a reshape-broadcast (no gather).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+__all__ = ["UNet", "ConvBlock", "UpConv"]
+
+
+def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
+    """NHWC nearest 2x upsample via broadcast (MXU/VPU friendly, no gather)."""
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return x.reshape(B, H * 2, W * 2, C)
+
+
+class ConvBlock(nn.Module):
+    """Two 3x3 conv + norm + ReLU (ref: unet.py:16-31 ``_ConvBlock``)."""
+    features: int
+    momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
+    norm: str = "batchnorm"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        for i in range(2):
+            x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                        dtype=self.dtype, name=f"conv{i}")(x)
+            x = self._norm(x, train, i)
+            x = nn.relu(x)
+        return x
+
+    def _norm(self, x, train: bool, i: int):
+        if self.norm == "batchnorm":
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=1.0 - self.momentum, dtype=self.dtype,
+                                name=f"bn{i}")(x)
+        return nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype,
+                            name=f"gn{i}")(x)
+
+
+class UpConv(nn.Module):
+    """2x nearest upsample + 3x3 conv + norm + ReLU (ref: unet.py:34-47)."""
+    features: int
+    momentum: float = 0.1
+    norm: str = "batchnorm"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        x = upsample2x_nearest(x)
+        x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        if self.norm == "batchnorm":
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=1.0 - self.momentum, dtype=self.dtype,
+                             name="bn")(x)
+        else:
+            x = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype,
+                             name="gn")(x)
+        return nn.relu(x)
+
+
+class UNet(nn.Module):
+    """5-level U-Net with a named-layer registry and partial forward."""
+
+    layer_dimension = {"Conv1": 1, "Conv2": 2, "Conv3": 4, "Conv4": 8, "Conv5": 16,
+                       "Up_conv5": 8, "Up_conv4": 4, "Up_conv3": 2, "Up_conv2": 1,
+                       "Deconv_1x1": None}
+    encoder_names = ("Conv1", "Conv2", "Conv3", "Conv4", "Conv5")
+    decoder_names = ("Up5", "Up_conv5", "Up4", "Up_conv4", "Up3", "Up_conv3",
+                     "Up2", "Up_conv2", "Deconv_1x1")
+    arch_elements = encoder_names + decoder_names
+
+    input_dim: int = 1
+    num_classes: int = 4
+    max_channel: int = 256
+    momentum: float = 0.1
+    norm: str = "batchnorm"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def get_channel_dim(self, name: str) -> int:
+        if name == "Deconv_1x1":
+            return self.num_classes
+        if name in self.layer_dimension:
+            return int(self.layer_dimension[name] / 16 * self.max_channel)
+        raise KeyError(name)
+
+    def setup(self):
+        assert self.max_channel % 16 == 0 and self.max_channel >= 128, self.max_channel
+        kw = dict(momentum=self.momentum, norm=self.norm, dtype=self.dtype)
+        cd = self.get_channel_dim
+        self.Conv1 = ConvBlock(cd("Conv1"), **kw)
+        self.Conv2 = ConvBlock(cd("Conv2"), **kw)
+        self.Conv3 = ConvBlock(cd("Conv3"), **kw)
+        self.Conv4 = ConvBlock(cd("Conv4"), **kw)
+        self.Conv5 = ConvBlock(cd("Conv5"), **kw)
+        self.Up5 = UpConv(cd("Up_conv5"), **kw)
+        self.Up_conv5 = ConvBlock(cd("Up_conv5"), **kw)
+        self.Up4 = UpConv(cd("Up_conv4"), **kw)
+        self.Up_conv4 = ConvBlock(cd("Up_conv4"), **kw)
+        self.Up3 = UpConv(cd("Up_conv3"), **kw)
+        self.Up_conv3 = ConvBlock(cd("Up_conv3"), **kw)
+        self.Up2 = UpConv(cd("Up_conv2"), **kw)
+        self.Up_conv2 = ConvBlock(cd("Up_conv2"), **kw)
+        self.Deconv_1x1 = nn.Conv(self.num_classes, (1, 1), padding="VALID",
+                                  dtype=self.dtype, name="Deconv_1x1")
+
+    def __call__(self, x: jnp.ndarray, *, until: Optional[str] = None,
+                 taps: Sequence[str] = (), train: bool = True
+                 ) -> Tuple[jnp.ndarray, dict]:
+        """Forward over NHWC input. ``until``/``taps`` are static layer names.
+
+        Returns ``(out, tap_dict)`` where ``out`` is the activation at ``until``
+        (or logits) cast to f32, and ``tap_dict`` maps each requested tap name to
+        its f32 activation. (ref: unet.py:105-177 partial forward semantics.)
+        """
+        taps = tuple(taps)
+        for t in taps:
+            if t not in self.layer_dimension:
+                raise KeyError(f"tap '{t}' not in {tuple(self.layer_dimension)}")
+        if until is not None and until not in self.layer_dimension:
+            raise KeyError(f"`until` must be one of {tuple(self.layer_dimension)}, got {until}")
+
+        collected: dict = {}
+
+        def emit(name, value):
+            if name in taps:
+                collected[name] = value.astype(jnp.float32)
+            return until == name
+
+        x = x.astype(self.dtype)
+        e1 = self.Conv1(x, train=train)
+        if emit("Conv1", e1):
+            return e1.astype(jnp.float32), collected
+        e2 = self.Conv2(nn.max_pool(e1, (2, 2), (2, 2)), train=train)
+        if emit("Conv2", e2):
+            return e2.astype(jnp.float32), collected
+        e3 = self.Conv3(nn.max_pool(e2, (2, 2), (2, 2)), train=train)
+        if emit("Conv3", e3):
+            return e3.astype(jnp.float32), collected
+        e4 = self.Conv4(nn.max_pool(e3, (2, 2), (2, 2)), train=train)
+        if emit("Conv4", e4):
+            return e4.astype(jnp.float32), collected
+        e5 = self.Conv5(nn.max_pool(e4, (2, 2), (2, 2)), train=train)
+        if emit("Conv5", e5):
+            return e5.astype(jnp.float32), collected
+
+        d5 = self.Up_conv5(jnp.concatenate([e4, self.Up5(e5, train=train)], axis=-1),
+                           train=train)
+        if emit("Up_conv5", d5):
+            return d5.astype(jnp.float32), collected
+        d4 = self.Up_conv4(jnp.concatenate([e3, self.Up4(d5, train=train)], axis=-1),
+                           train=train)
+        if emit("Up_conv4", d4):
+            return d4.astype(jnp.float32), collected
+        d3 = self.Up_conv3(jnp.concatenate([e2, self.Up3(d4, train=train)], axis=-1),
+                           train=train)
+        if emit("Up_conv3", d3):
+            return d3.astype(jnp.float32), collected
+        d2 = self.Up_conv2(jnp.concatenate([e1, self.Up2(d3, train=train)], axis=-1),
+                           train=train)
+        if emit("Up_conv2", d2):
+            return d2.astype(jnp.float32), collected
+
+        logits = self.Deconv_1x1(d2).astype(jnp.float32)
+        emit("Deconv_1x1", logits)
+        return logits, collected

@@ -1,0 +1,148 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from contrastyou_tpu.models import (ClusterHead, DenseClusterHead,
+                                    DenseProjectionHead, Discriminator,
+                                    ProjectionHead, UNet, get_arch,
+                                    trainable_mask)  # noqa: F401
+from contrastyou_tpu.models._base import (arch_order, complete_arch_start2end,
+                                          sort_arch)
+
+
+@pytest.fixture(scope="module")
+def unet_and_vars():
+    model = UNet(input_dim=1, num_classes=4, max_channel=128, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((2, 64, 64, 1)),
+                           train=False)
+    return model, variables
+
+
+def test_unet_forward_shape(unet_and_vars):
+    model, variables = unet_and_vars
+    x = jnp.ones((2, 64, 64, 1))
+    (logits, taps), _ = model.apply(variables, x, train=True,
+                                    mutable=["batch_stats"])
+    assert logits.shape == (2, 64, 64, 4)
+    assert logits.dtype == jnp.float32
+    assert taps == {}
+
+
+def test_unet_param_tree_named_layers(unet_and_vars):
+    _, variables = unet_and_vars
+    assert set(variables["params"].keys()) == set(UNet.arch_elements)
+
+
+def test_unet_partial_forward(unet_and_vars):
+    model, variables = unet_and_vars
+    x = jnp.ones((2, 64, 64, 1))
+    e5, _ = model.apply(variables, x, until="Conv5", train=False)
+    assert e5.shape == (2, 4, 4, 128)  # 64/16, channels = 16/16*128
+    d2, _ = model.apply(variables, x, until="Up_conv2", train=False)
+    assert d2.shape == (2, 64, 64, 8)
+
+
+def test_unet_taps(unet_and_vars):
+    model, variables = unet_and_vars
+    x = jnp.ones((2, 64, 64, 1))
+    logits, taps = model.apply(variables, x, taps=("Conv5", "Up_conv2"),
+                               train=False)
+    assert set(taps) == {"Conv5", "Up_conv2"}
+    assert taps["Conv5"].shape == (2, 4, 4, 128)
+    assert logits.shape == (2, 64, 64, 4)
+
+
+def test_unet_channel_dims():
+    m = UNet(num_classes=4, max_channel=512)
+    assert m.get_channel_dim("Conv5") == 512
+    assert m.get_channel_dim("Conv1") == 32
+    assert m.get_channel_dim("Deconv_1x1") == 4
+
+
+def test_arch_order_algebra():
+    els = UNet.arch_elements
+    assert arch_order("Conv1", elements=els) == 0
+    assert sort_arch(["Up_conv2", "Conv3"], elements=els) == ["Conv3", "Up_conv2"]
+    rng = complete_arch_start2end("Conv5", "Up_conv5", elements=els)
+    assert rng == ["Conv5", "Up5", "Up_conv5"]
+    rng2 = complete_arch_start2end("Conv5", "Up_conv5", elements=els,
+                                   include_start=False)
+    assert rng2 == ["Up5", "Up_conv5"]
+
+
+def test_trainable_mask_freeze_after(unet_and_vars):
+    _, variables = unet_and_vars
+    params = variables["params"]
+    # freeze everything AFTER Conv5 (pretrain-encoder semantics, main.py:96)
+    mask = trainable_mask(params, elements=UNet.arch_elements, enable=False,
+                          start="Conv5", include_start=False)
+    leaves_conv1 = jax.tree.leaves(mask["Conv1"])
+    leaves_up5 = jax.tree.leaves(mask["Up5"])
+    leaves_deconv = jax.tree.leaves(mask["Deconv_1x1"])
+    assert all(leaves_conv1) and all(v is True for v in jax.tree.leaves(mask["Conv5"]))
+    assert not any(leaves_up5) and not any(leaves_deconv)
+    # mask must drive an actually-freezing optimizer
+    from contrastyou_tpu.models.masks import masked_optimizer
+    tx = masked_optimizer(optax.sgd(1e-2), mask)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert float(jnp.abs(jax.tree.leaves(updates["Up5"])[0]).sum()) == 0.0
+    assert float(jnp.abs(jax.tree.leaves(updates["Conv1"])[0]).sum()) > 0.0
+
+
+def test_projection_head_normalized():
+    head = ProjectionHead(output_dim=32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 16))
+    vars_ = head.init(jax.random.PRNGKey(0), x)
+    out = head.apply(vars_, x)
+    assert out.shape == (4, 32)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, rtol=1e-5)
+
+
+def test_dense_projection_head_grid():
+    head = DenseProjectionHead(output_dim=16, spatial_size=(4, 4))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 8))
+    vars_ = head.init(jax.random.PRNGKey(0), x)
+    out = head.apply(vars_, x)
+    assert out.shape == (2, 4, 4, 16)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, rtol=1e-5)
+
+
+def test_cluster_head_simplex():
+    head = ClusterHead(num_clusters=5, num_subheads=3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 16))
+    vars_ = head.init(jax.random.PRNGKey(0), x)
+    out = head.apply(vars_, x)
+    assert out.shape == (3, 4, 5)
+    np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, rtol=1e-5)
+    # subheads must differ (independent init)
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
+def test_dense_cluster_head_simplex():
+    head = DenseClusterHead(num_clusters=6, num_subheads=2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 16))
+    vars_ = head.init(jax.random.PRNGKey(0), x)
+    out = head.apply(vars_, x)
+    assert out.shape == (2, 2, 8, 8, 6)
+    np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_discriminator():
+    d = Discriminator(input_dim=4, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 4))
+    vars_ = d.init(jax.random.PRNGKey(0), x, train=False)
+    out, _ = d.apply(vars_, x, train=True, mutable=["batch_stats"])
+    assert out.shape == (2,)
+    assert ((out >= 0) & (out <= 1)).all()
+
+
+def test_get_arch_zoo():
+    m = get_arch("unet", input_dim=1, num_classes=4, max_channel=128,
+                 checkpoint=None)
+    assert isinstance(m, UNet)
+    with pytest.raises(KeyError):
+        get_arch("nope")
