@@ -1,0 +1,194 @@
+"""Discrete mutual-information losses: IIC (classification + segmentation),
+IMSAT, and joint-distribution builders.
+
+Capability match for contrastyou/losses/discreteMI.py:20-297, re-expressed for
+channels-last jnp tensors:
+- ``compute_joint``: k x k joint from two [N, K] simplexes;
+- ``compute_joint_2d``: displacement-padded spatial joint [T, T, K, K] via one
+  batched conv (MXU);
+- ``compute_joint_2d_with_padding_zeros``: flattened matmul joint (a single
+  [K, N] @ [N, K] contraction — maps straight onto the MXU);
+- ``iid_loss`` / ``iid_segmentation_loss`` (+ patchwise variant) / ``imsat_loss``.
+"""
+from __future__ import annotations
+
+import math
+import sys
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+_EPS = sys.float_info.epsilon
+
+
+def compute_joint(x_out: jnp.ndarray, x_tf_out: jnp.ndarray,
+                  symmetric: bool = True) -> jnp.ndarray:
+    """[N, K] x [N, K] -> [K, K] normalized joint (ref: discreteMI.py:201-222)."""
+    p_i_j = x_out.T @ x_tf_out  # sum_n p1[n,i] p2[n,j]
+    if symmetric:
+        p_i_j = (p_i_j + p_i_j.T) / 2.0
+    return p_i_j / p_i_j.sum()
+
+
+def compute_joint_2d(x_out: jnp.ndarray, x_tf_out: jnp.ndarray, *,
+                     symmetric: bool = True, padding: int = 0) -> jnp.ndarray:
+    """Spatial joint with displacement window: [B, H, W, K] inputs ->
+    [T, T, K, K], T = 2*padding+1 (ref: discreteMI.py:225-243).
+
+    Implemented as a conv where one simplex is the input (batch=K, chan=B) and
+    the other the kernel (out=K, in=B, kernel=HxW)."""
+    lhs = jnp.transpose(x_out, (3, 0, 1, 2))     # K, B, H, W
+    rhs = jnp.transpose(x_tf_out, (3, 0, 1, 2))  # K, B, H, W
+    p = int(padding)
+    joint = lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1, 1), padding=[(p, p), (p, p)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32)       # K, K, T, T
+    joint = joint - lax.stop_gradient(joint.min()) + 1e-8
+    joint = jnp.transpose(joint, (2, 3, 0, 1))    # T, T, K, K
+    joint = joint / joint.sum(axis=(2, 3), keepdims=True)
+    if symmetric:
+        joint = (joint + jnp.transpose(joint, (0, 1, 3, 2))) / 2.0
+    return joint / joint.sum()
+
+
+def compute_joint_2d_with_padding_zeros(x_out: jnp.ndarray, x_tf_out: jnp.ndarray,
+                                        *, symmetric: bool = True) -> jnp.ndarray:
+    """Zero-displacement spatial joint as one flattened matmul: [B, H, W, K]
+    inputs -> [1, 1, K, K] (ref: discreteMI.py:246-263). NOT normalized —
+    consistent with the reference, which divides by N via the sqrt(N) factors."""
+    k = x_out.shape[-1]
+    a = x_out.reshape(-1, k)
+    b = x_tf_out.reshape(-1, k)
+    n = a.shape[0]
+    p_i_j = (a.T / math.sqrt(n)) @ (b / math.sqrt(n))
+    if symmetric:
+        p_i_j = (p_i_j + p_i_j.T) / 2.0
+    return p_i_j.reshape(1, 1, k, k)
+
+
+def iid_loss(x_out: jnp.ndarray, x_tf_out: jnp.ndarray, lamb: float = 1.0
+             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """IIC clustering loss over [N, K] simplexes
+    (ref: discreteMI.py:90-125). Returns (loss, loss_no_lamb, joint)."""
+    k = x_out.shape[-1]
+    p_i_j = compute_joint(x_out, x_tf_out)
+    p_i = p_i_j.sum(axis=1).reshape(k, 1)
+    p_j = p_i_j.sum(axis=0).reshape(1, k)
+
+    def _mi(lam):
+        return (-p_i_j * (jnp.log(p_i_j + 1e-10)
+                          - lam * jnp.log(p_j + 1e-10)
+                          - lam * jnp.log(p_i + 1e-10))).sum()
+
+    return _mi(lamb), _mi(1.0), p_i_j
+
+
+def iid_segmentation_loss(x_out: jnp.ndarray, x_tf_out: jnp.ndarray, *,
+                          lamda: float = 1.0, padding: int = 0,
+                          eps: float = 1e-5, symmetric: bool = False,
+                          mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Spatial IIC over [B, H, W, K] simplexes (ref: discreteMI.py:127-171)."""
+    if mask is not None:
+        x_out = x_out * mask
+        x_tf_out = x_tf_out * mask
+    T = padding * 2 + 1
+    if padding > 0:
+        p_i_j = compute_joint_2d(x_out, x_tf_out, symmetric=symmetric,
+                                 padding=padding)
+    else:
+        p_i_j = compute_joint_2d_with_padding_zeros(x_out, x_tf_out,
+                                                    symmetric=symmetric)
+    p_i_mat = p_i_j.sum(axis=2, keepdims=True)
+    p_j_mat = p_i_j.sum(axis=3, keepdims=True)
+    loss = -p_i_j * (jnp.log(p_i_j + eps)
+                     - lamda * jnp.log(p_i_mat + eps)
+                     - lamda * jnp.log(p_j_mat + eps))
+    return loss.sum() / (T * T)
+
+
+def _patch_slices(size: int, patch: int, step: int):
+    starts = list(range(0, max(size - patch, 0), step)) or [0]
+    last = max(size - patch, 0)
+    if starts[-1] != last:
+        starts.append(last)
+    return starts
+
+
+def iid_segmentation_small_path_loss(x_out: jnp.ndarray, x_tf_out: jnp.ndarray, *,
+                                     lamda: float = 1.0, padding: int = 7,
+                                     patch_size: int = 32,
+                                     mask: Optional[jnp.ndarray] = None
+                                     ) -> jnp.ndarray:
+    """Patchwise spatial IIC (ref: discreteMI.py:173-198): average the loss over
+    overlapping patches (stride = patch/2). Patch starts are static."""
+    _, H, W, _ = x_out.shape
+    ph = pw = min(patch_size, H, W)
+    losses = []
+    for h0 in _patch_slices(H, ph, max(ph // 2, 1)):
+        for w0 in _patch_slices(W, pw, max(pw // 2, 1)):
+            sl = (slice(None), slice(h0, h0 + ph), slice(w0, w0 + pw))
+            m = mask[sl] if mask is not None else None
+            losses.append(iid_segmentation_loss(
+                x_out[sl], x_tf_out[sl], lamda=lamda, padding=padding,
+                eps=_EPS, mask=m))
+    return sum(losses) / len(losses)
+
+
+def _row_entropy(p: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    return -(p * jnp.log(p + eps)).sum(axis=-1)
+
+
+def imsat_terms(prediction: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(marginal_entropy, mean_conditional_entropy) of [..., K] simplexes
+    (ref: discreteMI.py:288-297 ``imsat_with_entropy``)."""
+    pred = prediction.reshape(-1, prediction.shape[-1])
+    marginal = _row_entropy(pred.mean(axis=0))
+    conditional = _row_entropy(pred).mean()
+    return marginal, conditional
+
+
+def imsat_loss(prediction: jnp.ndarray, lamda: float = 1.0) -> jnp.ndarray:
+    """-MI = mean conditional entropy - lamda * marginal entropy
+    (ref: discreteMI.py:275-285)."""
+    marginal, conditional = imsat_terms(prediction)
+    return conditional - lamda * marginal
+
+
+class IIDLoss:
+    def __init__(self, lamb: float = 1.0):
+        self._lamb = lamb
+
+    def __call__(self, x_out, x_tf_out):
+        return iid_loss(x_out, x_tf_out, lamb=self._lamb)
+
+
+class IIDSegmentationLoss:
+    def __init__(self, lamda: float = 1.0, padding: int = 0, eps: float = 1e-5,
+                 symmetric: bool = False):
+        self._kw = dict(lamda=lamda, padding=padding, eps=eps, symmetric=symmetric)
+
+    def __call__(self, x_out, x_tf_out, mask=None):
+        return iid_segmentation_loss(x_out, x_tf_out, mask=mask, **self._kw)
+
+
+class IIDSegmentationSmallPathLoss:
+    def __init__(self, lamda: float = 1.0, padding: int = 7, patch_size: int = 32):
+        self._kw = dict(lamda=lamda, padding=padding, patch_size=patch_size)
+
+    def __call__(self, x_out, x_tf_out, mask=None):
+        return iid_segmentation_small_path_loss(x_out, x_tf_out, mask=mask, **self._kw)
+
+
+class IMSATLoss:
+    """Symmetrized IMSAT over one or two views (ref: discreteMI.py:20-53)."""
+
+    def __init__(self, lamda: float = 1.0):
+        self._lamda = lamda
+
+    def __call__(self, x_out, x_tf_out=None):
+        if x_tf_out is None:
+            return imsat_loss(x_out, lamda=self._lamda)
+        return 0.5 * (imsat_loss(x_out, lamda=self._lamda)
+                      + imsat_loss(x_tf_out, lamda=self._lamda))

@@ -1,0 +1,164 @@
+"""On-device batched geometric + intensity augmentation with exact
+transform replay — the TPU replacement for the reference's rising-based
+GPU batch transforms (semi_seg/augment.py:286-311 ``RisingWrapper``,
+epochers/epocher.py:226-238 BaseAffine/Mirror/GammaCorrection).
+
+The reference synchronizes ``T(f(x))`` vs ``f(T(x))`` by re-seeding python
+RNG around the transform. Here the transform is explicit data: sample a
+``GeoParams`` batch from a PRNG key once, then apply it to the input image
+(bilinear or nearest) and to the logits (the same params, by construction
+identical geometry). This makes equivariance exact and jit-compatible.
+
+Parameter ranges mirror the reference: scale U(0.8, 1.3), rotation
+U(-45°, 45°), translation U(-0.1, 0.1) of the image size, mirror with
+p=0.9 over a random axis, gamma U(0.5, 2).
+
+All sampling is gather-based bilinear/nearest over normalized [-1, 1]
+coordinates with zeros padding (matching grid_sample semantics the
+reference's rising library uses underneath).
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class GeoParams(NamedTuple):
+    """Per-sample geometric transform parameters (all [B]-shaped)."""
+    scale: jnp.ndarray
+    angle: jnp.ndarray       # radians
+    tx: jnp.ndarray          # translation, fraction of size in [-1,1] coords
+    ty: jnp.ndarray
+    flip_h: jnp.ndarray      # bool
+    flip_w: jnp.ndarray      # bool
+
+
+def sample_geo_params(key: jax.Array, batch: int, *,
+                      scale_range: Tuple[float, float] = (0.8, 1.3),
+                      degree_range: float = 45.0,
+                      translate_range: float = 0.1,
+                      mirror_p: float = 0.9) -> GeoParams:
+    ks = jax.random.split(key, 6)
+    scale = jax.random.uniform(ks[0], (batch,), minval=scale_range[0],
+                               maxval=scale_range[1])
+    angle = jax.random.uniform(ks[1], (batch,),
+                               minval=-degree_range, maxval=degree_range)
+    angle = angle * (math.pi / 180.0)
+    tx = jax.random.uniform(ks[2], (batch,), minval=-translate_range,
+                            maxval=translate_range) * 2.0
+    ty = jax.random.uniform(ks[3], (batch,), minval=-translate_range,
+                            maxval=translate_range) * 2.0
+    do_mirror = jax.random.uniform(ks[4], (batch,)) < mirror_p
+    axis = jax.random.bernoulli(ks[5], 0.5, (batch,))
+    return GeoParams(scale=scale, angle=angle, tx=tx, ty=ty,
+                     flip_h=do_mirror & axis, flip_w=do_mirror & ~axis)
+
+
+def identity_geo_params(batch: int) -> GeoParams:
+    z = jnp.zeros((batch,))
+    f = jnp.zeros((batch,), bool)
+    return GeoParams(scale=jnp.ones((batch,)), angle=z, tx=z, ty=z,
+                     flip_h=f, flip_w=f)
+
+
+def affine_matrices(params: GeoParams) -> jnp.ndarray:
+    """[B, 2, 3] output->input sampling matrices in normalized coords:
+    q = (1/s) R(-theta) (p - t)."""
+    inv_s = 1.0 / params.scale
+    c, s = jnp.cos(params.angle), jnp.sin(params.angle)
+    a00 = inv_s * c
+    a01 = inv_s * s
+    a10 = -inv_s * s
+    a11 = inv_s * c
+    b0 = -(a00 * params.tx + a01 * params.ty)
+    b1 = -(a10 * params.tx + a11 * params.ty)
+    return jnp.stack([jnp.stack([a00, a01, b0], -1),
+                      jnp.stack([a10, a11, b1], -1)], -2)
+
+
+def _grid(H: int, W: int) -> jnp.ndarray:
+    """[H, W, 2] normalized (x, y) target coordinates, pixel centers."""
+    ys = (jnp.arange(H) + 0.5) / H * 2.0 - 1.0
+    xs = (jnp.arange(W) + 0.5) / W * 2.0 - 1.0
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    return jnp.stack([gx, gy], axis=-1)
+
+
+def grid_sample(images: jnp.ndarray, coords: jnp.ndarray, *, order: int
+                ) -> jnp.ndarray:
+    """Sample NHWC ``images`` at normalized (x, y) ``coords`` [B, H', W', 2]
+    with zeros padding; order 0 = nearest, 1 = bilinear."""
+    B, H, W, C = images.shape
+    x = (coords[..., 0] + 1.0) * 0.5 * W - 0.5
+    y = (coords[..., 1] + 1.0) * 0.5 * H - 0.5
+
+    def gather(yi, xi):
+        valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        yc = jnp.clip(yi, 0, H - 1)
+        xc = jnp.clip(xi, 0, W - 1)
+        flat = images.reshape(B, H * W, C)
+        idx = (yc * W + xc).reshape(B, -1)
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        vals = vals.reshape(*yi.shape, C)
+        return vals * valid[..., None].astype(images.dtype)
+
+    if order == 0:
+        return gather(jnp.round(y).astype(jnp.int32),
+                      jnp.round(x).astype(jnp.int32))
+
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1, y1 = x0 + 1, y0 + 1
+    wx = (x - x0).astype(images.dtype)[..., None]
+    wy = (y - y0).astype(images.dtype)[..., None]
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x1)
+    v10 = gather(y1, x0)
+    v11 = gather(y1, x1)
+    return (v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy)
+            + v10 * (1 - wx) * wy + v11 * wx * wy)
+
+
+def apply_flips(images: jnp.ndarray, params: GeoParams) -> jnp.ndarray:
+    out = jnp.where(params.flip_h[:, None, None, None],
+                    images[:, ::-1, :, :], images)
+    return jnp.where(params.flip_w[:, None, None, None],
+                     out[:, :, ::-1, :], out)
+
+
+def apply_geometric(images: jnp.ndarray, params: GeoParams, *, order: int = 1
+                    ) -> jnp.ndarray:
+    """Affine (rotate/scale/translate) then mirror, NHWC."""
+    B, H, W, _ = images.shape
+    mats = affine_matrices(params)
+    grid = _grid(H, W)                                     # H, W, 2
+    hom = jnp.concatenate([grid, jnp.ones((H, W, 1))], -1)  # H, W, 3
+    coords = jnp.einsum("bij,hwj->bhwi", mats, hom)         # B, H, W, 2
+    out = grid_sample(images, coords, order=order)
+    return apply_flips(out, params)
+
+
+def apply_gamma(images: jnp.ndarray, key: jax.Array, *,
+                gamma_range: Tuple[float, float] = (0.5, 2.0)) -> jnp.ndarray:
+    """Per-sample gamma correction on [0, 1] images (ref GammaCorrection)."""
+    B = images.shape[0]
+    gamma = jax.random.uniform(key, (B, 1, 1, 1), minval=gamma_range[0],
+                               maxval=gamma_range[1])
+    return jnp.clip(images, 0.0, 1.0) ** gamma
+
+
+def transform_image(images: jnp.ndarray, params: GeoParams, key: jax.Array, *,
+                    order: int = 0, gamma: bool = True) -> jnp.ndarray:
+    """mode="image" of the reference RisingWrapper: intensity then geometry.
+    Default order=0 (nearest) mirrors the reference BaseAffine interpolation."""
+    out = apply_gamma(images, key) if gamma else images
+    return apply_geometric(out, params, order=order)
+
+
+def transform_logits(logits: jnp.ndarray, params: GeoParams, *, order: int = 0
+                     ) -> jnp.ndarray:
+    """mode="feature": geometry only — aligns f(x) with f(T(x))."""
+    return apply_geometric(logits, params, order=order)
