@@ -1,0 +1,228 @@
+"""Folder-backed slice dataset with scan grouping.
+
+Capability match for contrastyou/data/dataset/base.py:74-245: folder-per-
+modality layout ``root/mode/{img,gt,...}`` of 2D PNG slices, PIL "L" loading,
+optional RAM preload, scan grouping via regex (``patient\\d+_\\d+`` etc.),
+``get_scan_list``/``get_stem_list``, and sub-dataset extraction restricted to
+scan names (the split primitive).
+
+The item protocol returns numpy (host) data ready for device batching:
+``{"image": f32 [H,W], "target": i32 [H,W], "filename": str, "scan": str,
+"partition": int}``; the anatomical partition index is computed from per-scan
+slice counts (the role of the reference's ``*_info.npy`` metadata,
+semi_seg/data/dataset.py:15-183, derived here directly from the file list).
+"""
+from __future__ import annotations
+
+import re
+import typing as t
+from collections import OrderedDict
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+__all__ = ["SliceDataset", "extract_sub_dataset_based_on_scan_names", "get_stem"]
+
+ALLOWED_EXTENSIONS = (".png", ".jpg")
+
+
+def get_stem(path: str | Path) -> str:
+    return Path(path).stem
+
+
+def _list_folder(root: Path) -> t.List[str]:
+    items = [str(p) for p in root.iterdir() if p.suffix in ALLOWED_EXTENSIONS]
+    return sorted(items)
+
+
+def read_image(path: str) -> np.ndarray:
+    with Image.open(path) as img:
+        return np.asarray(img.convert("L"), dtype=np.uint8)
+
+
+class SliceDataset:
+    """2D-slice dataset over ``root/mode/<sub_folder>/*.png``."""
+
+    partition_num: int = 1
+    group_re: str = r".*"
+
+    def __init__(self, *, root_dir: str, mode: str,
+                 sub_folders: t.Sequence[str] = ("img", "gt"),
+                 sub_folder_types: t.Sequence[str] = ("image", "gt"),
+                 transforms=None, group_re: str | None = None,
+                 partition_num: int | None = None):
+        self._root_dir = str(root_dir)
+        self._mode = mode
+        self._sub_folders = list(sub_folders)
+        self._is_image = [s.lower() in ("image", "img") for s in sub_folder_types]
+        self._transforms = transforms
+        if group_re is not None:
+            self.group_re = group_re
+        if partition_num is not None:
+            self.partition_num = partition_num
+        self._re = re.compile(self.group_re)
+
+        memory: "OrderedDict[str, t.List[str]]" = OrderedDict()
+        for sub in self._sub_folders:
+            folder = Path(self._root_dir, mode, sub)
+            if not folder.is_dir():
+                raise FileNotFoundError(
+                    f"missing dataset folder {folder} — see data/datasets.py for "
+                    f"how to obtain or synthesize the data")
+            memory[sub] = _list_folder(folder)
+        lengths = {len(v) for v in memory.values()}
+        assert len(lengths) == 1, f"unbalanced sub folders: { {k: len(v) for k, v in memory.items()} }"
+        self._memory = memory
+        self._preload: t.Optional[dict] = None
+        self._scan_slice_count = self._count_slices_per_scan()
+
+    # --- scan grouping --------------------------------------------------
+    def get_scan_name(self, stem: str) -> str:
+        m = self._re.match(Path(stem).stem) or self._re.search(Path(stem).stem)
+        if m is None:
+            raise ValueError(f"cannot extract scan name from '{stem}' with /{self.group_re}/")
+        return m.group(0)
+
+    # reference-compatible alias (ref base.py uses _get_scan_name)
+    _get_scan_name = get_scan_name
+
+    def _count_slices_per_scan(self) -> t.Dict[str, int]:
+        counts: t.Dict[str, int] = {}
+        for path in self._memory[self._sub_folders[0]]:
+            scan = self.get_scan_name(get_stem(path))
+            counts[scan] = counts.get(scan, 0) + 1
+        return counts
+
+    def get_scan_list(self) -> t.List[str]:
+        return sorted(self._scan_slice_count.keys())
+
+    def get_stem_list(self) -> t.List[str]:
+        return [get_stem(p) for p in self._memory[self._sub_folders[0]]]
+
+    def get_memory_dictionary(self) -> t.Dict[str, t.List[str]]:
+        return OrderedDict(self._memory)
+
+    # --- partitions -----------------------------------------------------
+    def get_partition(self, stem: str) -> int:
+        """Anatomical partition (apex/mid/base-style index) of a slice from its
+        position within the scan (ref: semi_seg/data/dataset.py:33-42)."""
+        scan = self.get_scan_name(stem)
+        max_len = self._scan_slice_count[scan]
+        cur_index = int(re.findall(r"\d+", Path(stem).stem)[-1])
+        cut = max(max_len // self.partition_num, 1)
+        return min(cur_index // (cut + 1) if self.partition_num > 3 else
+                   self._threshold_partition(cur_index, cut), self.partition_num - 1)
+
+    def _threshold_partition(self, cur_index: int, cut: int) -> int:
+        if cur_index <= cut - 1:
+            return 0
+        if cur_index <= 2 * cut:
+            return 1
+        return 2
+
+    _get_partition = get_partition
+
+    def get_partition_list(self) -> t.List[int]:
+        return [self.get_partition(s) for s in self.get_stem_list()]
+
+    # --- loading --------------------------------------------------------
+    def preload(self) -> None:
+        self._preload = {
+            sub: [read_image(p) for p in paths]
+            for sub, paths in self._memory.items()
+        }
+
+    def deload(self) -> None:
+        self._preload = None
+
+    def __len__(self) -> int:
+        return len(self._memory[self._sub_folders[0]])
+
+    def _raw(self, sub: str, index: int) -> np.ndarray:
+        if self._preload is not None:
+            return self._preload[sub][index]
+        return read_image(self._memory[sub][index])
+
+    def __getitem__(self, index: int | t.Tuple[int, np.random.Generator]):
+        rng = None
+        if isinstance(index, tuple):
+            index, rng = index
+        if rng is None:
+            rng = np.random.default_rng(abs(hash((id(self), index))) % (2 ** 32))
+        stem = get_stem(self._memory[self._sub_folders[0]][index])
+
+        arrays = {sub: self._raw(sub, index) for sub in self._sub_folders}
+        image = arrays[self._sub_folders[0]].astype(np.float32) / 255.0
+        # first non-image folder is the target; extra folders (superpixel) kept
+        target = None
+        extras = {}
+        for sub, is_img in zip(self._sub_folders[1:], self._is_image[1:]):
+            if not is_img and target is None:
+                target = arrays[sub].astype(np.int32)
+            else:
+                extras[sub] = arrays[sub]
+        if self._transforms is not None:
+            # transform target and any integer extras with the same geometry
+            if extras:
+                image, joint = self._apply_with_extras(image, target, extras, rng)
+                target, extras = joint
+            else:
+                image, target = self._transforms(image, target, rng)
+        item = {"image": image[..., None], "target": target,
+                "filename": stem, "scan": self.get_scan_name(stem),
+                "partition": self.get_partition(stem)}
+        for k, v in extras.items():
+            item[k] = v
+        return item
+
+    def _apply_with_extras(self, image, target, extras, rng):
+        """Apply the same geometric transform to target and extra label maps by
+        replaying the rng state per call."""
+        state = rng.bit_generator.state
+        image_t, target_t = self._transforms(image, target, rng)
+        new_extras = {}
+        for k, v in extras.items():
+            r2 = np.random.default_rng()
+            r2.bit_generator.state = state
+            _, v_t = self._transforms(image, v.astype(np.int32), r2)
+            new_extras[k] = v_t
+        return image_t, (target_t, new_extras)
+
+    @property
+    def transforms(self):
+        return self._transforms
+
+    @transforms.setter
+    def transforms(self, value):
+        self._transforms = value
+
+    @property
+    def root_dir(self) -> str:
+        return self._root_dir
+
+    @property
+    def mode(self) -> str:
+        return self._mode
+
+
+def extract_sub_dataset_based_on_scan_names(dataset: SliceDataset,
+                                            group_names: t.Iterable[str]
+                                            ) -> SliceDataset:
+    """Clone a dataset restricted to the given scan names
+    (ref: base.py:218-245 — the split primitive)."""
+    keep = set(group_names)
+    import copy
+    sub = copy.copy(dataset)
+    new_memory: "OrderedDict[str, t.List[str]]" = OrderedDict()
+    first = dataset._sub_folders[0]
+    keep_idx = [i for i, p in enumerate(dataset._memory[first])
+                if dataset.get_scan_name(get_stem(p)) in keep]
+    for folder, paths in dataset._memory.items():
+        new_memory[folder] = [paths[i] for i in keep_idx]
+    sub._memory = new_memory
+    if dataset._preload is not None:
+        sub._preload = {k: [v[i] for i in keep_idx]
+                        for k, v in dataset._preload.items()}
+    sub._scan_slice_count = sub._count_slices_per_scan()
+    return sub
