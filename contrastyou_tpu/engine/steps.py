@@ -1,0 +1,180 @@
+"""Jitted step builders: the hot loop compiled as one XLA program.
+
+This is the TPU replacement for the reference epocher hot loop
+(semi_seg/epochers/epocher.py:264-377). Per step everything fuses into a
+single jit: on-device two-view augmentation, labeled+unlabeled forward
+(two-stage BN semantics), supervised KL, the summed hook regularizers, the
+optimizer update and hook post-updates (EMA). Python never touches device
+data inside the loop; metrics return as small scalars/[B,C] count vectors and
+are drained asynchronously by the meters.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..losses.kl import kl_div
+from ..meters.dice import slice_intersection_union
+from ..ops.affine import sample_geo_params, transform_image, transform_logits
+from .bundle import ModelBundle
+from .hooks import StepContext, TrainerHook, check_hook_names, combined_taps
+from .state import TrainState
+
+
+def init_train_state(bundle: ModelBundle, hooks: Sequence[TrainerHook],
+                     optimizer, rng: jax.Array) -> TrainState:
+    check_hook_names(hooks)
+    hook_params: Dict = {}
+    hook_states: Dict = {}
+    for hook in hooks:
+        rng, sub = jax.random.split(rng)
+        p, s = hook.init(sub, bundle)
+        hook_params[hook.name] = {} if p is None else p
+        hook_states[hook.name] = {} if s is None else s
+    opt_state = optimizer.init((bundle.params, hook_params))
+    return TrainState(params=bundle.params, batch_stats=bundle.batch_stats,
+                      hook_params=hook_params, hook_states=hook_states,
+                      opt_state=opt_state, step=jnp.int32(0))
+
+
+def build_train_step(bundle: ModelBundle, optimizer,
+                     hooks: Sequence[TrainerHook], *,
+                     two_stage: bool = True, disable_bn: bool = False,
+                     mode: str = "semi",
+                     sup_criterion: Optional[Callable] = None) -> Callable:
+    """-> jitted ``step(state, batch, rng) -> (state, metrics)``.
+
+    batch keys (device arrays): ``labeled_image`` [B,H,W,1], ``labeled_target``
+    [B,H,W] int; for mode="semi" also ``unlabeled_image`` [Bu,H,W,1],
+    ``unlabeled_partition``/``unlabeled_scan_id`` [Bu] plus optional
+    ``unlabeled_superpixel``, ``epoch`` scalar.
+    """
+    assert mode in ("semi", "ft"), mode
+    hooks = tuple(hooks)
+    taps = combined_taps(hooks)
+    num_classes = bundle.num_classes
+    criterion = sup_criterion or (lambda probs, onehot: kl_div(probs, onehot))
+
+    def loss_fn(trainables, batch_stats, hook_states, batch, rng, epoch):
+        params, hook_params = trainables
+        labeled_image = batch["labeled_image"]
+        labeled_target = batch["labeled_target"]
+
+        ctx = StepContext(bundle=bundle, params=params, rng=rng, epoch=epoch)
+        ctx.labeled_image = labeled_image
+        ctx.labeled_target = labeled_target
+
+        if mode == "semi":
+            unlabeled_image = batch["unlabeled_image"]
+            k_geo, k_int, k_hook = jax.random.split(rng, 3)
+            geo = sample_geo_params(k_geo, unlabeled_image.shape[0])
+            unlabeled_image_tf = transform_image(unlabeled_image, geo, k_int)
+            ctx.geo_params = geo
+            ctx.unlabeled_image = unlabeled_image
+            ctx.unlabeled_image_tf = unlabeled_image_tf
+            ctx.rng = k_hook
+
+            if two_stage:
+                (labeled_logits, labeled_taps), batch_stats = bundle.apply_train(
+                    params, batch_stats, labeled_image, taps=taps)
+                both = jnp.concatenate([unlabeled_image, unlabeled_image_tf], 0)
+                (u_logits_all, u_taps_all), batch_stats = bundle.apply_train(
+                    params, batch_stats, both, taps=taps,
+                    update_stats=not disable_bn)
+            else:
+                all_images = jnp.concatenate(
+                    [labeled_image, unlabeled_image, unlabeled_image_tf], 0)
+                (logits_all, taps_all), batch_stats = bundle.apply_train(
+                    params, batch_stats, all_images, taps=taps)
+                nl = labeled_image.shape[0]
+                labeled_logits = logits_all[:nl]
+                labeled_taps = {k: v[:nl] for k, v in taps_all.items()}
+                u_logits_all = logits_all[nl:]
+                u_taps_all = {k: v[nl:] for k, v in taps_all.items()}
+
+            nu = unlabeled_image.shape[0]
+            ctx.unlabeled_logits = u_logits_all[:nu]
+            ctx.unlabeled_tf_logits = u_logits_all[nu:]
+            ctx.unlabeled_logits_tf = transform_logits(ctx.unlabeled_logits, geo)
+            ctx.unlabeled_taps = {k: v[:nu] for k, v in u_taps_all.items()}
+            ctx.unlabeled_tf_taps = {k: v[nu:] for k, v in u_taps_all.items()}
+            ctx.label_group = batch.get("unlabeled_scan_id")
+            ctx.partition_group = batch.get("unlabeled_partition")
+            ctx.superpixel = batch.get("unlabeled_superpixel")
+        else:
+            (labeled_logits, labeled_taps), batch_stats = bundle.apply_train(
+                params, batch_stats, labeled_image, taps=taps)
+
+        ctx.labeled_logits = labeled_logits
+        ctx.labeled_taps = labeled_taps
+        ctx.batch_stats = batch_stats
+
+        onehot = jax.nn.one_hot(labeled_target, num_classes)
+        probs = jax.nn.softmax(labeled_logits, axis=-1)
+        sup_loss = criterion(probs, onehot)
+
+        reg_loss = jnp.float32(0.0)
+        new_hook_states = {}
+        metrics: Dict[str, jnp.ndarray] = {}
+        for hook in hooks:
+            h_loss, h_state, h_metrics = hook.loss(
+                ctx, hook_params[hook.name], hook_states[hook.name])
+            reg_loss = reg_loss + hook.weight * h_loss
+            new_hook_states[hook.name] = (h_state if h_state is not None
+                                          else hook_states[hook.name])
+            metrics[f"{hook.name}/loss"] = h_loss
+            for mk, mv in h_metrics.items():
+                metrics[f"{hook.name}/{mk}"] = mv
+
+        total = sup_loss + reg_loss
+        pred = jnp.argmax(labeled_logits, axis=-1)
+        inter, union = slice_intersection_union(pred, labeled_target,
+                                                num_classes=num_classes)
+        metrics.update(sup_loss=sup_loss, reg_loss=reg_loss, total_loss=total)
+        aux = (batch_stats, new_hook_states, metrics, (inter, union), ctx)
+        return total, aux
+
+    def step(state: TrainState, batch, rng, epoch) -> Tuple[TrainState, Dict]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, aux), grads = grad_fn(state.trainables, state.batch_stats,
+                                  state.hook_states, batch, rng, epoch)
+        batch_stats, hook_states, metrics, dice_iu, ctx = aux
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.trainables)
+        params, hook_params = jax.tree.map(
+            lambda p, u: p + u, state.trainables, updates)
+        for hook in hooks:
+            hook_states = dict(hook_states)
+            hook_states[hook.name] = hook.post_step(ctx, params,
+                                                    hook_states[hook.name])
+        metrics["dice_inter"], metrics["dice_union"] = dice_iu
+        return TrainState(params=params, batch_stats=batch_stats,
+                          hook_params=hook_params, hook_states=hook_states,
+                          opt_state=opt_state, step=state.step + 1), metrics
+
+    return jax.jit(step)
+
+
+def build_eval_step(bundle: ModelBundle) -> Callable:
+    """-> jitted ``eval_step(params, batch_stats, image, target, mask) ->
+    (loss, pred, inter, union)`` with per-sample masked counts."""
+    num_classes = bundle.num_classes
+
+    @jax.jit
+    def eval_step(params, batch_stats, image, target, mask):
+        logits, _ = bundle.apply_eval(params, batch_stats, image)
+        probs = jax.nn.softmax(logits, axis=-1)
+        onehot = jax.nn.one_hot(target, num_classes)
+        per_px = kl_div(probs, onehot, reduction="none")   # [B, H, W]
+        m = mask.astype(jnp.float32)
+        loss = (per_px.mean(axis=(1, 2)) * m).sum() / jnp.maximum(m.sum(), 1.0)
+        pred = jnp.argmax(logits, axis=-1)
+        inter, union = slice_intersection_union(pred, target,
+                                                num_classes=num_classes)
+        mi = mask.astype(jnp.int32)[:, None]
+        return loss, pred, inter * mi, union * mi
+
+    return eval_step

@@ -1,0 +1,286 @@
+"""Trainer: host-side orchestration of the jitted steps.
+
+Capability match for contrastyou/trainer/base.py:27-191 + mixins (_io, _hooks,
+_utils) and the epocher layer (epochers/base.py:43-168): epoch loop, per-epoch
+train/val/test metering, storage.csv + TensorBoard + tqdm observability,
+best/last checkpointing with atomic writes, resume, hook registration, and
+eval-on-teacher switching. The per-batch work lives entirely in the compiled
+step (engine/steps.py); the trainer only moves host batches in and drains
+small metric arrays out.
+"""
+from __future__ import annotations
+
+import typing as t
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from tqdm import tqdm
+
+from .. import RUN_PATH, success
+from ..configure import yaml_write
+from ..loggers import logger
+from ..meters import (AverageValueDictionaryMeter, AverageValueMeter,
+                      MeterInterface, Storage, UniversalDice)
+from ..writer import SummaryWriter
+from .bundle import ModelBundle
+from .checkpoint import load_checkpoint, restore_train_state, save_checkpoint
+from .hooks import TrainerHook
+from .optim import create_optimizer
+from .state import TrainState
+from .steps import build_eval_step, build_train_step, init_train_state
+
+
+class Trainer:
+    """Generic trainer; subclasses (trainers/) select step modes and loops."""
+
+    activate_hooks: bool = True
+    train_mode: str = "semi"  # "semi" | "ft"
+
+    def __init__(self, *, model, labeled_loader, unlabeled_loader=None,
+                 val_loader=None, test_loader=None, save_dir: str = "tmp",
+                 max_epoch: int = 100, num_batches: int = 100,
+                 config: t.Mapping | None = None, two_stage: bool = False,
+                 disable_bn: bool = False, accumulate_iter: int = 1,
+                 enable_scale: bool = False, seed: int = 10, **kwargs):
+        del enable_scale  # bf16 on TPU needs no GradScaler (ref amp/amp.py)
+        self._model = model
+        self._labeled_loader = labeled_loader
+        self._unlabeled_loader = unlabeled_loader
+        self._val_loader = val_loader
+        self._test_loader = test_loader
+        save_dir = str(save_dir)
+        if not Path(save_dir).is_absolute():
+            save_dir = str(Path(RUN_PATH) / save_dir)
+        self._save_dir = save_dir
+        Path(self._save_dir).mkdir(parents=True, exist_ok=True)
+        self._max_epoch = int(max_epoch)
+        self._num_batches = int(num_batches)
+        self._config = dict(config) if config else {}
+        self._two_stage = bool(two_stage)
+        self._disable_bn = bool(disable_bn)
+        self._accumulate_iter = int(accumulate_iter)
+        self._seed = int(seed)
+
+        self._hooks: t.List[TrainerHook] = []
+        self._inference_hook: t.Optional[TrainerHook] = None
+        self._cur_epoch = 0
+        self._best_score = -np.inf
+        self._initialized = False
+
+        self._storage = Storage(self._save_dir)
+        self._writer = SummaryWriter(self._save_dir)
+        if self._config:
+            yaml_write(self._config, self._save_dir, "config.yaml")
+
+    # --- hooks ----------------------------------------------------------
+    def register_hooks(self, *hooks: TrainerHook) -> None:
+        assert not self._initialized, "register hooks before init()"
+        self._hooks.extend(hooks)
+        for h in hooks:
+            after = getattr(h, "after_register", None)
+            if after:
+                after(self)
+
+    def set_model4inference(self, hook: TrainerHook) -> None:
+        """Evaluate/infer with this hook's model (e.g. mean teacher;
+        ref: hook_creator.py + trainer.py:139-149)."""
+        self._inference_hook = hook
+
+    # --- initialization -------------------------------------------------
+    def init(self) -> None:
+        rng = jax.random.PRNGKey(self._seed)
+        batch = next(iter(self._labeled_loader))
+        input_shape = batch["image"].shape[1:]
+        self._bundle = ModelBundle.create(self._model, rng, input_shape)
+        if getattr(self, "_warm_start_params", None) is not None:
+            self._bundle.params = self._warm_start_params
+        hooks = self._hooks if self.activate_hooks else []
+        self._optimizer, self._schedule = create_optimizer(
+            self._config.get("Optim", {}), self._config.get("Scheduler", {}),
+            max_epoch=self._max_epoch, steps_per_epoch=self._num_batches,
+            accumulate_iter=self._accumulate_iter,
+            param_labels=self._param_labels())
+        self._state = init_train_state(self._bundle, hooks, self._optimizer,
+                                       jax.random.fold_in(rng, 1))
+        self._train_step = build_train_step(
+            self._bundle, self._optimizer, hooks, two_stage=self._two_stage,
+            disable_bn=self._disable_bn, mode=self.train_mode)
+        self._eval_step = build_eval_step(self._bundle)
+        self._active_hooks = hooks
+        self._initialized = True
+
+    def _param_labels(self):
+        """Override to freeze parts of the model (pretrain)."""
+        return None
+
+    def load_model_params(self, params) -> None:
+        """Warm-start model weights (Arch.checkpoint, ref main.py:51-58)."""
+        if self._initialized:
+            self._state = self._state.replace(params=params)
+        else:
+            self._warm_start_params = params
+
+    # --- device transfer ------------------------------------------------
+    def _device_batches(self, labeled: dict, unlabeled: dict | None) -> dict:
+        out = {"labeled_image": jnp.asarray(labeled["image"]),
+               "labeled_target": jnp.asarray(labeled["target"])}
+        if unlabeled is not None:
+            out["unlabeled_image"] = jnp.asarray(unlabeled["image"])
+            out["unlabeled_partition"] = jnp.asarray(unlabeled["partition"])
+            out["unlabeled_scan_id"] = jnp.asarray(unlabeled["scan_id"])
+            if "superpixel" in unlabeled:
+                out["unlabeled_superpixel"] = jnp.asarray(unlabeled["superpixel"])
+        return out
+
+    # --- training ---------------------------------------------------------
+    def start_training(self) -> float:
+        assert self._initialized, "call init() first"
+        with self._writer:
+            return self._start_training()
+
+    def _start_training(self) -> float:
+        num_classes = self._bundle.num_classes
+        for epoch in range(self._cur_epoch, self._max_epoch):
+            self._cur_epoch = epoch
+            for hook in self._active_hooks:
+                new = hook.on_epoch_start(self._state.hook_states[hook.name],
+                                          epoch)
+                if new is not self._state.hook_states[hook.name]:
+                    hs = dict(self._state.hook_states)
+                    hs[hook.name] = new
+                    self._state = self._state.replace(hook_states=hs)
+            with self._storage:
+                tra = self.tra_epoch(epoch)
+                stages = {"tra": tra}
+                cur_score = None
+                if self._val_loader is not None:
+                    val, val_score = self.eval_epoch(self._val_loader, epoch)
+                    stages["val"] = val
+                    cur_score = val_score
+                if self._test_loader is not None:
+                    test, _ = self.eval_epoch(self._test_loader, epoch)
+                    stages["test"] = test
+                self._storage.add_from_meter_interface(epoch=epoch, **stages)
+                self._writer.add_scalars_from_meter_interface(epoch=epoch,
+                                                              **stages)
+            self.save_to("last")
+            if cur_score is not None and cur_score > self._best_score:
+                self._best_score = float(cur_score)
+                self.save_to("best")
+        success(self._save_dir)
+        return self._best_score
+
+    def tra_epoch(self, epoch: int) -> dict:
+        meters = MeterInterface(default_focus="tra")
+        meters.register_meter("sup_loss", AverageValueMeter())
+        meters.register_meter("reg_loss", AverageValueMeter())
+        meters.register_meter("sup_dice", UniversalDice(
+            self._bundle.num_classes,
+            report_axis=range(1, self._bundle.num_classes)))
+        hook_meters: dict[str, AverageValueDictionaryMeter] = {}
+        for hook in self._active_hooks:
+            with meters.focus_on(hook.name):
+                hook_meters[hook.name] = meters.register_meter(
+                    "metrics", AverageValueDictionaryMeter())
+
+        labeled_iter = iter(self._labeled_loader)
+        unlabeled_iter = (iter(self._unlabeled_loader)
+                          if self._unlabeled_loader is not None else None)
+        rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), 10_000 + epoch)
+        epoch_arr = jnp.int32(epoch)
+        indicator = tqdm(range(self._num_batches), leave=False, dynamic_ncols=True)
+        indicator.set_description(f"train {epoch:03d}")
+        with meters:
+            for it in indicator:
+                labeled = next(labeled_iter)
+                unlabeled = next(unlabeled_iter) if unlabeled_iter else None
+                batch = self._device_batches(labeled, unlabeled)
+                step_rng = jax.random.fold_in(rng, it)
+                self._state, metrics = self._train_step(self._state, batch,
+                                                        step_rng, epoch_arr)
+                meters.add("sup_loss", metrics["sup_loss"])
+                meters.add("reg_loss", metrics["reg_loss"])
+                meters["sup_dice"].add_counts(metrics["dice_inter"],
+                                              metrics["dice_union"],
+                                              group_name=labeled["scan"])
+                for hook in self._active_hooks:
+                    hm = {k.split("/", 1)[1]: v for k, v in metrics.items()
+                          if k.startswith(hook.name + "/")}
+                    hook_meters[hook.name].add(**hm)
+                if it % 20 == 0 or it == self._num_batches - 1:
+                    postfix = {"sup": f"{meters['sup_loss'].summary():.3f}",
+                               "reg": f"{meters['reg_loss'].summary():.3f}"}
+                    indicator.set_postfix(postfix)
+        stats = dict(meters.statistics())
+        lr = float(self._schedule(int(self._state.step)))
+        stats.setdefault("tra", {})["lr"] = lr
+        return stats
+
+    # --- evaluation -------------------------------------------------------
+    def _inference_state(self) -> tuple:
+        """(params, batch_stats) used for eval — possibly a hook's teacher."""
+        if self._inference_hook is not None:
+            override = self._inference_hook.eval_params(
+                self._state.hook_states.get(self._inference_hook.name))
+            if override is not None:
+                return override, self._state.batch_stats
+        return self._state.params, self._state.batch_stats
+
+    def eval_epoch(self, loader, epoch: int) -> tuple[dict, float]:
+        num_classes = self._bundle.num_classes
+        meters = MeterInterface(default_focus="eval")
+        meters.register_meter("loss", AverageValueMeter())
+        dice = meters.register_meter("dice", UniversalDice(
+            num_classes, report_axis=range(1, num_classes)))
+        params, batch_stats = self._inference_state()
+        with meters:
+            for batch in loader:
+                loss, _pred, inter, union = self._eval_step(
+                    params, batch_stats, jnp.asarray(batch["image"]),
+                    jnp.asarray(batch["target"]), jnp.asarray(batch["mask"]))
+                meters.add("loss", loss)
+                dice.add_counts(inter, union, group_name=batch["scan"])
+        stats = dict(meters.statistics())
+        score = stats["eval"]["dice"]["DSC_mean"]
+        return stats, float(score)
+
+    # --- checkpointing ----------------------------------------------------
+    def save_to(self, name: str = "last") -> str:
+        path = Path(self._save_dir) / name
+        save_checkpoint(path, train_state=self._state, host_state={
+            "cur_epoch": self._cur_epoch + 1,
+            "best_score": float(self._best_score),
+            "config": self._config,
+            "storage": self._storage.state_dict(),
+        })
+        return str(path)
+
+    def resume_from_path(self, path: str) -> None:
+        assert self._initialized, "init() before resume"
+        ckpt = load_checkpoint(path)
+        self._state = restore_train_state(self._state,
+                                          ckpt["train_state_bytes"])
+        host = ckpt["host_state"]
+        self._cur_epoch = int(host["cur_epoch"])
+        self._best_score = float(host["best_score"])
+        self._storage.load_state_dict(host["storage"])
+        logger.info(f"resumed from {path} at epoch {self._cur_epoch}")
+
+    # --- accessors --------------------------------------------------------
+    @property
+    def save_dir(self) -> str:
+        return self._save_dir
+
+    @property
+    def state(self) -> TrainState:
+        return self._state
+
+    @property
+    def bundle(self) -> ModelBundle:
+        return self._bundle
+
+    @property
+    def best_score(self) -> float:
+        return self._best_score

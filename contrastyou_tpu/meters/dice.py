@@ -83,6 +83,16 @@ class UniversalDice(Metric[t.Dict[str, float]]):
         self._pending.append((inter, union, names))
         self._n += 1
 
+    def add_counts(self, inter, union, *,
+                   group_name: t.Sequence[t.Optional[str]]) -> None:
+        """Ingest precomputed per-sample [B, C] intersection/union counts (the
+        jitted train/eval step returns these so no pixel maps cross to host).
+        Entries whose group name is None are ignored (padded slots)."""
+        names = list(group_name)
+        assert jnp.asarray(inter).shape[0] == len(names)
+        self._pending.append((jnp.asarray(inter), jnp.asarray(union), names))
+        self._n += 1
+
     def join(self) -> None:
         """Drain device-pending counts into the host per-scan accumulators."""
         for inter, union, names in self._pending:
