@@ -126,6 +126,17 @@ class SliceDataset:
     def get_partition_list(self) -> t.List[int]:
         return [self.get_partition(s) for s in self.get_stem_list()]
 
+    @staticmethod
+    def get_patient_cycle(scan_name: str) -> t.Tuple[int, int]:
+        """Integer (patient, cycle) ids from a scan name: first number is the
+        patient, second (ACDC's ED/ES cycle suffix, e.g. patient012_00) the
+        cycle, 0 when absent (ref: semi_seg/hooks/utils.py get_label's
+        ``p.split('_')`` parsing)."""
+        nums = re.findall(r"\d+", scan_name)
+        patient = int(nums[0]) if nums else 0
+        cycle = int(nums[1]) if len(nums) > 1 else 0
+        return patient, cycle
+
     # --- loading --------------------------------------------------------
     def preload(self) -> None:
         self._preload = {
@@ -169,9 +180,12 @@ class SliceDataset:
                 target, extras = joint
             else:
                 image, target = self._transforms(image, target, rng)
+        scan = self.get_scan_name(stem)
+        patient, cycle = self.get_patient_cycle(scan)
         item = {"image": image[..., None], "target": target,
-                "filename": stem, "scan": self.get_scan_name(stem),
-                "partition": self.get_partition(stem)}
+                "filename": stem, "scan": scan,
+                "partition": self.get_partition(stem),
+                "patient": patient, "cycle": cycle}
         for k, v in extras.items():
             item[k] = v
         return item

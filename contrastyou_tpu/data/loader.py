@@ -39,6 +39,8 @@ def collate(items: t.Sequence[dict], batch_size: int,
         "image": np.stack([i["image"] for i in items]).astype(np.float32),
         "target": np.stack([i["target"] for i in items]).astype(np.int32),
         "partition": np.asarray([i["partition"] for i in items], np.int32),
+        "patient": np.asarray([i.get("patient", 0) for i in items], np.int32),
+        "cycle": np.asarray([i.get("cycle", 0) for i in items], np.int32),
         "scan_id": np.asarray([scan_to_id.get(i["scan"], -1) for i in items],
                               np.int32),
         "mask": np.asarray([True] * n + [False] * pad),

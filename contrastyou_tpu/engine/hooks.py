@@ -52,6 +52,8 @@ class StepContext:
     # grouping labels for contrastive objectives
     label_group: Optional[jnp.ndarray] = None             # scan ids [B]
     partition_group: Optional[jnp.ndarray] = None         # partition ids [B]
+    patient_group: Optional[jnp.ndarray] = None           # patient ids [B]
+    cycle_group: Optional[jnp.ndarray] = None             # cycle ids [B]
     superpixel: Optional[jnp.ndarray] = None
     # the explicit transform (replaces the reference's seed replay)
     geo_params: Optional[GeoParams] = None

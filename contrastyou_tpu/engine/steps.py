@@ -103,6 +103,8 @@ def build_train_step(bundle: ModelBundle, optimizer,
             ctx.unlabeled_tf_taps = {k: v[nu:] for k, v in u_taps_all.items()}
             ctx.label_group = batch.get("unlabeled_scan_id")
             ctx.partition_group = batch.get("unlabeled_partition")
+            ctx.patient_group = batch.get("unlabeled_patient")
+            ctx.cycle_group = batch.get("unlabeled_cycle")
             ctx.superpixel = batch.get("unlabeled_superpixel")
         else:
             (labeled_logits, labeled_taps), batch_stats = bundle.apply_train(

@@ -104,12 +104,17 @@ class Trainer:
             param_labels=self._param_labels())
         self._state = init_train_state(self._bundle, hooks, self._optimizer,
                                        jax.random.fold_in(rng, 1))
-        self._train_step = build_train_step(
-            self._bundle, self._optimizer, hooks, two_stage=self._two_stage,
-            disable_bn=self._disable_bn, mode=self.train_mode)
-        self._eval_step = build_eval_step(self._bundle)
         self._active_hooks = hooks
+        self._build_steps()
         self._initialized = True
+
+    def _build_steps(self) -> None:
+        if self.train_mode in ("semi", "ft"):
+            self._train_step = build_train_step(
+                self._bundle, self._optimizer, self._active_hooks,
+                two_stage=self._two_stage, disable_bn=self._disable_bn,
+                mode=self.train_mode)
+        self._eval_step = build_eval_step(self._bundle)
 
     def _param_labels(self):
         """Override to freeze parts of the model (pretrain)."""
@@ -130,6 +135,8 @@ class Trainer:
             out["unlabeled_image"] = jnp.asarray(unlabeled["image"])
             out["unlabeled_partition"] = jnp.asarray(unlabeled["partition"])
             out["unlabeled_scan_id"] = jnp.asarray(unlabeled["scan_id"])
+            out["unlabeled_patient"] = jnp.asarray(unlabeled["patient"])
+            out["unlabeled_cycle"] = jnp.asarray(unlabeled["cycle"])
             if "superpixel" in unlabeled:
                 out["unlabeled_superpixel"] = jnp.asarray(unlabeled["superpixel"])
         return out

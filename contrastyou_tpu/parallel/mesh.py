@@ -1,0 +1,58 @@
+"""Device mesh + sharding helpers — the first-class data-parallel layer the
+reference only gestured at (SURVEY.md §2: vestigial DDPMixin, amp/ddp.py).
+
+Design (scaling-book recipe): a 1-D ``data`` mesh; batches are sharded over
+it, params/optimizer state stay replicated, and XLA/GSPMD inserts the psum
+gradient all-reduce over ICI automatically from the shardings — no hand-rolled
+collectives in the train step. BatchNorm batch statistics become GLOBAL batch
+statistics for free (a mean over a sharded axis lowers to a cross-chip psum) —
+the SyncBN the reference defined but never used (trainer/_ddp.py:8).
+
+Multi-host: ``init_distributed`` wraps jax.distributed.initialize;
+``is_master`` replaces the reference's ``on_master`` rank gating
+(amp/ddp.py:22-33) for writer/checkpoint gating.
+"""
+from __future__ import annotations
+
+import typing as t
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host init (DCN). Single-process when no coordinator given."""
+    if coordinator is not None:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def is_master() -> bool:
+    return jax.process_index() == 0
+
+
+def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    assert n <= len(devices), f"asked {n} devices, have {len(devices)}"
+    return Mesh(np.asarray(devices[:n]).reshape(n), (axis,))
+
+
+def shard_batch(batch: t.Mapping, mesh: Mesh, axis: str = DATA_AXIS):
+    """device_put every array sharded along its leading (batch) dim."""
+    def _put(x):
+        spec = P(axis, *([None] * (np.ndim(x) - 1))) if np.ndim(x) else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree.map(_put, dict(batch))
+
+
+def replicate(tree, mesh: Mesh):
+    """device_put a PyTree fully replicated on the mesh."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
