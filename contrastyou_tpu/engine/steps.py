@@ -44,7 +44,9 @@ def build_train_step(bundle: ModelBundle, optimizer,
                      hooks: Sequence[TrainerHook], *,
                      two_stage: bool = True, disable_bn: bool = False,
                      mode: str = "semi",
-                     sup_criterion: Optional[Callable] = None) -> Callable:
+                     sup_criterion: Optional[Callable] = None,
+                     prob_transform: Optional[Callable] = None,
+                     target_num_classes: Optional[int] = None) -> Callable:
     """-> jitted ``step(state, batch, rng) -> (state, metrics)``.
 
     batch keys (device arrays): ``labeled_image`` [B,H,W,1], ``labeled_target``
@@ -55,8 +57,9 @@ def build_train_step(bundle: ModelBundle, optimizer,
     assert mode in ("semi", "ft"), mode
     hooks = tuple(hooks)
     taps = combined_taps(hooks)
-    num_classes = bundle.num_classes
+    num_classes = target_num_classes or bundle.num_classes
     criterion = sup_criterion or (lambda probs, onehot: kl_div(probs, onehot))
+    transform = prob_transform or (lambda p: p)
 
     def loss_fn(trainables, batch_stats, hook_states, batch, rng, epoch):
         params, hook_params = trainables
@@ -132,7 +135,7 @@ def build_train_step(bundle: ModelBundle, optimizer,
                 metrics[f"{hook.name}/{mk}"] = mv
 
         total = sup_loss + reg_loss
-        pred = jnp.argmax(labeled_logits, axis=-1)
+        pred = jnp.argmax(transform(probs), axis=-1)
         inter, union = slice_intersection_union(pred, labeled_target,
                                                 num_classes=num_classes)
         metrics.update(sup_loss=sup_loss, reg_loss=reg_loss, total_loss=total)
@@ -160,20 +163,25 @@ def build_train_step(bundle: ModelBundle, optimizer,
     return jax.jit(step)
 
 
-def build_eval_step(bundle: ModelBundle) -> Callable:
+def build_eval_step(bundle: ModelBundle, *,
+                    prob_transform: Optional[Callable] = None,
+                    target_num_classes: Optional[int] = None) -> Callable:
     """-> jitted ``eval_step(params, batch_stats, image, target, mask) ->
-    (loss, pred, inter, union)`` with per-sample masked counts."""
-    num_classes = bundle.num_classes
+    (loss, pred, inter, union)`` with per-sample masked counts.
+    ``prob_transform`` collapses over-segmented prototype probabilities back to
+    true classes (multicore evaluation, ref multicore_epocher.py:72-91)."""
+    num_classes = target_num_classes or bundle.num_classes
+    transform = prob_transform or (lambda p: p)
 
     @jax.jit
     def eval_step(params, batch_stats, image, target, mask):
         logits, _ = bundle.apply_eval(params, batch_stats, image)
-        probs = jax.nn.softmax(logits, axis=-1)
+        probs = transform(jax.nn.softmax(logits, axis=-1))
         onehot = jax.nn.one_hot(target, num_classes)
         per_px = kl_div(probs, onehot, reduction="none")   # [B, H, W]
         m = mask.astype(jnp.float32)
         loss = (per_px.mean(axis=(1, 2)) * m).sum() / jnp.maximum(m.sum(), 1.0)
-        pred = jnp.argmax(logits, axis=-1)
+        pred = jnp.argmax(probs, axis=-1)
         inter, union = slice_intersection_union(pred, target,
                                                 num_classes=num_classes)
         mi = mask.astype(jnp.int32)[:, None]

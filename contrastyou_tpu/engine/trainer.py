@@ -43,8 +43,14 @@ class Trainer:
                  max_epoch: int = 100, num_batches: int = 100,
                  config: t.Mapping | None = None, two_stage: bool = False,
                  disable_bn: bool = False, accumulate_iter: int = 1,
-                 enable_scale: bool = False, seed: int = 10, **kwargs):
+                 enable_scale: bool = False, seed: int = 10,
+                 criterion: t.Callable | None = None,
+                 prob_transform: t.Callable | None = None,
+                 target_num_classes: int | None = None, **kwargs):
         del enable_scale  # bf16 on TPU needs no GradScaler (ref amp/amp.py)
+        self._criterion = criterion
+        self._prob_transform = prob_transform
+        self._target_num_classes = target_num_classes
         self._model = model
         self._labeled_loader = labeled_loader
         self._unlabeled_loader = unlabeled_loader
@@ -108,13 +114,21 @@ class Trainer:
         self._build_steps()
         self._initialized = True
 
+    @property
+    def num_classes(self) -> int:
+        return self._target_num_classes or self._bundle.num_classes
+
     def _build_steps(self) -> None:
         if self.train_mode in ("semi", "ft"):
             self._train_step = build_train_step(
                 self._bundle, self._optimizer, self._active_hooks,
                 two_stage=self._two_stage, disable_bn=self._disable_bn,
-                mode=self.train_mode)
-        self._eval_step = build_eval_step(self._bundle)
+                mode=self.train_mode, sup_criterion=self._criterion,
+                prob_transform=self._prob_transform,
+                target_num_classes=self._target_num_classes)
+        self._eval_step = build_eval_step(
+            self._bundle, prob_transform=self._prob_transform,
+            target_num_classes=self._target_num_classes)
 
     def _param_labels(self):
         """Override to freeze parts of the model (pretrain)."""
@@ -184,8 +198,7 @@ class Trainer:
         meters.register_meter("sup_loss", AverageValueMeter())
         meters.register_meter("reg_loss", AverageValueMeter())
         meters.register_meter("sup_dice", UniversalDice(
-            self._bundle.num_classes,
-            report_axis=range(1, self._bundle.num_classes)))
+            self.num_classes, report_axis=range(1, self.num_classes)))
         hook_meters: dict[str, AverageValueDictionaryMeter] = {}
         for hook in self._active_hooks:
             with meters.focus_on(hook.name):
@@ -236,7 +249,7 @@ class Trainer:
         return self._state.params, self._state.batch_stats
 
     def eval_epoch(self, loader, epoch: int) -> tuple[dict, float]:
-        num_classes = self._bundle.num_classes
+        num_classes = self.num_classes
         meters = MeterInterface(default_focus="eval")
         meters.register_meter("loss", AverageValueMeter())
         dice = meters.register_meter("dice", UniversalDice(

@@ -1,5 +1,8 @@
 from .autoencoder import DenoisingAutoEncoderTrainerHook
+from .ccblock import CrossCorrelationHook, create_cross_correlation_hook
 from .consistency import ConsistencyTrainerHook
+from .creator import create_hook_from_config
+from .dmt import DifferentiableMeanTeacherTrainerHook
 from .discretemi import DiscreteIMSATTrainHook, DiscreteMITrainHook
 from .entmin import EntropyMinTrainerHook
 from .infonce import INFONCEHook, SelfPacedINFONCEHook, SuperPixelInfoNCEHook
@@ -11,6 +14,8 @@ from .orthogonal import OrthogonalTrainerHook
 from .pseudolabel import PseudoLabelTrainerHook
 
 __all__ = ["DenoisingAutoEncoderTrainerHook", "ConsistencyTrainerHook",
+           "CrossCorrelationHook", "create_cross_correlation_hook",
+           "create_hook_from_config", "DifferentiableMeanTeacherTrainerHook",
            "DiscreteIMSATTrainHook", "DiscreteMITrainHook",
            "EntropyMinTrainerHook", "INFONCEHook", "SelfPacedINFONCEHook",
            "SuperPixelInfoNCEHook", "IIDSegmentationTrainerHook",

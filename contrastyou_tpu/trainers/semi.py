@@ -27,7 +27,7 @@ class SemiTrainer(Trainer):
         if checkpoint is not None:
             self.resume_from_path(checkpoint)
         loader = scan_loader if scan_loader is not None else self._test_loader
-        num_classes = self._bundle.num_classes
+        num_classes = self.num_classes
         meters = MeterInterface(default_focus="inference")
         meters.register_meter("loss", AverageValueMeter())
         dice = meters.register_meter("dice", UniversalDice(

@@ -1,0 +1,42 @@
+"""CLI integration: run main.py end-to-end (subprocess, synthetic data,
+reference-style argv) for the semi trainer with the mt hook preset."""
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from contrastyou_tpu.data import synthesize_acdc_like
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+@pytest.mark.slow
+def test_main_semi_mt(tmp_path):
+    data_root = tmp_path / "data"
+    synthesize_acdc_like(data_root, num_train_scans=4, num_val_scans=3,
+                         slices_per_scan=6, size=64)
+    run_dir = tmp_path / "runs"
+    env = dict(os.environ,
+               CONTRASTYOU_DATA_PATH=str(data_root),
+               CONTRASTYOU_RUN_PATH=str(run_dir),
+               CONTRASTYOU_FORCE_CPU="1")
+    cmd = [sys.executable, "main.py",
+           "-p", str(REPO / "config" / "base.yaml"),
+           str(REPO / "config" / "hooks" / "mt.yaml"),
+           "-o", "Trainer.name=mt", "Trainer.max_epoch=1",
+           "Trainer.num_batches=3", "Trainer.save_dir=cli_test",
+           "Data.labeled_scan_num=2", "Arch.max_channel=128",
+           "LabeledLoader.batch_size=2", "UnlabeledLoader.batch_size=2",
+           "Optim.lr=1e-4", "Scheduler.multiplier=1"]
+    result = subprocess.run(cmd, cwd=str(REPO), env=env, capture_output=True,
+                            text=True, timeout=1200)
+    assert result.returncode == 0, result.stderr[-3000:]
+    save = run_dir / "cli_test"
+    assert (save / "storage.csv").exists()
+    assert (save / "config.yaml").exists()
+    assert (save / ".success").exists()
+    inference = json.loads((save / "inference_result.json").read_text())
+    assert "DSC_mean" in inference["dice"]
