@@ -46,8 +46,9 @@ class Trainer:
                  enable_scale: bool = False, seed: int = 10,
                  criterion: t.Callable | None = None,
                  prob_transform: t.Callable | None = None,
-                 target_num_classes: int | None = None, **kwargs):
+                 target_num_classes: int | None = None, mesh=None, **kwargs):
         del enable_scale  # bf16 on TPU needs no GradScaler (ref amp/amp.py)
+        self._mesh = mesh  # jax.sharding.Mesh -> data-parallel batch sharding
         self._criterion = criterion
         self._prob_transform = prob_transform
         self._target_num_classes = target_num_classes
@@ -153,6 +154,9 @@ class Trainer:
             out["unlabeled_cycle"] = jnp.asarray(unlabeled["cycle"])
             if "superpixel" in unlabeled:
                 out["unlabeled_superpixel"] = jnp.asarray(unlabeled["superpixel"])
+        if self._mesh is not None:
+            from ..parallel import shard_batch
+            out = shard_batch(out, self._mesh)
         return out
 
     # --- training ---------------------------------------------------------

@@ -6,15 +6,17 @@ from .discriminator import Discriminator
 from .masks import mask_from_layer_predicate, merge_masks, trainable_mask
 from .projectors import (ClusterHead, CrossCorrelationProjector,
                          DenseClusterHead, DenseProjectionHead, ProjectionHead)
+from .resunet import ResUNet
 from .unet import ConvBlock, UNet, UpConv
+from .unet2 import UNet2
 
 __all__ = ["arch_order", "complete_arch_start2end", "sort_arch", "Discriminator",
            "mask_from_layer_predicate", "merge_masks", "trainable_mask",
            "ClusterHead", "CrossCorrelationProjector", "DenseClusterHead",
-           "DenseProjectionHead", "ProjectionHead", "ConvBlock", "UNet", "UpConv",
-           "get_arch"]
+           "DenseProjectionHead", "ProjectionHead", "ConvBlock", "ResUNet",
+           "UNet", "UNet2", "UpConv", "get_arch"]
 
-_arch_zoo = {"unet": UNet}
+_arch_zoo = {"unet": UNet, "unet2": UNet2, "resunet": ResUNet}
 
 
 def get_arch(name: str = "unet", **kwargs) -> UNet:
