@@ -47,13 +47,24 @@ def _expand_masks(pos_mask, neg_mask, n: int):
     return pos * off_diag, neg * off_diag
 
 
+#: anchors >= this threshold route through the fused Pallas kernel on TPU
+#: (below it the eager path is already one small fused matmul)
+FUSED_MIN_ANCHORS = 512
+
+
+def _tpu_backend() -> bool:
+    import jax
+    return jax.default_backend() not in ("cpu",)
+
+
 def sup_con_loss(proj_feat1: jnp.ndarray, proj_feat2: jnp.ndarray, *,
                  target: Optional[jnp.ndarray] = None,
                  mask: Optional[jnp.ndarray] = None,
                  temperature: float = 0.07, exclude_other_pos: bool = False,
-                 return_aux: bool = False):
+                 return_aux: bool = False, fused: Optional[bool] = None):
     """proj_feat{1,2}: [N, d], L2-normalized. Returns scalar loss
-    (+ aux dict when return_aux)."""
+    (+ aux dict when return_aux). ``fused`` selects the Pallas streaming
+    kernel (ops/pallas/infonce.py); default: auto for large batches on TPU."""
     n = proj_feat1.shape[0]
     if mask is not None:
         pos_mask = (mask == 1).astype(jnp.float32)
@@ -61,6 +72,14 @@ def sup_con_loss(proj_feat1: jnp.ndarray, proj_feat2: jnp.ndarray, *,
     else:
         pos_mask, neg_mask = pair_masks_from_target(target, n)
     pos_mask, neg_mask = _expand_masks(pos_mask, neg_mask, n)
+
+    if fused is None:
+        fused = (2 * n >= FUSED_MIN_ANCHORS and not return_aux
+                 and not exclude_other_pos and _tpu_backend())
+    if fused:
+        from ..ops.pallas import fused_sup_con_loss
+        z = jnp.concatenate([proj_feat1, proj_feat2], axis=0)
+        return fused_sup_con_loss(z, pos_mask, neg_mask, temperature)
 
     sim_exp, sim_logits = _sim_exp(proj_feat1, proj_feat2, temperature)
     pos_count = pos_mask.sum(1)

@@ -1,0 +1,112 @@
+"""Fused supervised-contrastive (InfoNCE) loss as a Pallas TPU kernel.
+
+The eager formulation (losses/contrastive.py) materializes three [2N, 2N]
+f32 tensors in HBM (sim_logits, sim_exp, masked products). For the global
+batches the data-parallel path produces (2N in the thousands after the
+all-gather), this kernel streams row-blocks: each grid step computes one
+[BLK, 2N] similarity tile on the MXU straight from VMEM-resident projections,
+does the masked log-sum-exp and positive-pair reduction in registers, and
+writes only a [2N] per-anchor loss vector. Backward is the analytic gradient
+(one masked softmax + two matmuls) via custom VJP.
+
+Numerics deliberately match ``sup_con_loss`` with a per-row stabilizer (the
+reference subtracts the global max; row max is equivalent under exp shift).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLK = 128
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _loss_kernel(z_ref, zt_ref, pos_ref, neg_ref, loss_ref, *, temperature):
+    """One row-block: per-anchor SupCon loss over all columns."""
+    s = jnp.dot(z_ref[:], zt_ref[:],
+                preferred_element_type=jnp.float32) / temperature
+    pos = pos_ref[:]
+    neg = neg_ref[:]
+    m = pos + neg
+    neg_inf = jnp.float32(-1e30)
+    s_masked = jnp.where(m > 0, s, neg_inf)
+    row_max = jnp.max(s_masked, axis=1, keepdims=True)
+    row_max = jnp.maximum(row_max, neg_inf * 0)  # rows with no mask -> 0
+    e = jnp.where(m > 0, jnp.exp(s - row_max), 0.0)
+    denom = e.sum(axis=1, keepdims=True)
+    log_denom = jnp.log(denom + 1e-16) + row_max
+    pos_count = pos.sum(axis=1)
+    per_pair = (s - log_denom) * pos
+    # the [G, BLK] output block is revisited by every grid step; each step
+    # fills its own row
+    loss_ref[pl.program_id(0), :] = (-per_pair.sum(axis=1)
+                                     / jnp.maximum(pos_count, 1.0))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_sup_con_loss(z: jnp.ndarray, pos_mask: jnp.ndarray,
+                       neg_mask: jnp.ndarray, temperature: float = 0.07):
+    """z: [M, d] L2-normalized stacked projections (both views); masks: [M, M]
+    with diagonal already removed. Returns the scalar mean per-anchor loss."""
+    return _forward(z, pos_mask, neg_mask, temperature)
+
+
+def _forward(z, pos_mask, neg_mask, temperature):
+    M, d = z.shape
+    Mp = _round_up(M, BLK)
+    dp = _round_up(d, 128)
+    z_p = jnp.zeros((Mp, dp), jnp.float32).at[:M, :d].set(z.astype(jnp.float32))
+    pos_p = jnp.zeros((Mp, Mp), jnp.float32).at[:M, :M].set(pos_mask)
+    neg_p = jnp.zeros((Mp, Mp), jnp.float32).at[:M, :M].set(neg_mask)
+
+    grid = (Mp // BLK,)
+    loss_vec = pl.pallas_call(
+        functools.partial(_loss_kernel, temperature=temperature),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BLK, dp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),     # z row block
+            pl.BlockSpec((dp, Mp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),     # z.T full
+            pl.BlockSpec((BLK, Mp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, Mp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Mp // BLK, BLK), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp // BLK, BLK), jnp.float32),
+    )(z_p, z_p.T, pos_p, neg_p)
+    return loss_vec.reshape(-1)[:M].mean()
+
+
+def _fwd(z, pos_mask, neg_mask, temperature):
+    return _forward(z, pos_mask, neg_mask, temperature), (z, pos_mask, neg_mask)
+
+
+def _bwd(temperature, residuals, g):
+    z, pos_mask, neg_mask = residuals
+    M = z.shape[0]
+    zf = z.astype(jnp.float32)
+    s = (zf @ zf.T) / temperature
+    m = pos_mask + neg_mask
+    s_masked = jnp.where(m > 0, s, -1e30)
+    row_max = jnp.max(s_masked, axis=1, keepdims=True)
+    e = jnp.where(m > 0, jnp.exp(s - row_max), 0.0)
+    p = e / jnp.maximum(e.sum(axis=1, keepdims=True), 1e-16)
+    pos_count = jnp.maximum(pos_mask.sum(axis=1, keepdims=True), 1.0)
+    a = pos_mask / pos_count          # a_ij
+    w = a.sum(axis=1, keepdims=True)  # w_i (1 where positives exist)
+    G = -(a - w * p) / M              # dL/ds_ij
+    dz = ((G + G.T) @ zf) / temperature * g
+    return dz.astype(z.dtype), None, None
+
+
+fused_sup_con_loss.defvjp(_fwd, _bwd)

@@ -116,7 +116,7 @@ def build_pretrain_step(bundle, optimizer, hooks: t.Sequence[TrainerHook], *,
                           hook_params=hook_params, hook_states=hook_states,
                           opt_state=opt_state, step=state.step + 1), metrics
 
-    return jax.jit(step)
+    return jax.jit(step, donate_argnums=(0,))
 
 
 class PretrainEncoderTrainer(Trainer):

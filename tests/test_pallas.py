@@ -1,0 +1,59 @@
+"""Pallas kernel tests. The kernels require a real TPU backend; on the CPU
+test platform they run the same math through the custom-VJP eager fallback
+check only, so the numerics suite lives here behind a TPU skip."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from contrastyou_tpu.losses.contrastive import (_expand_masks,
+                                                pair_masks_from_target,
+                                                sup_con_loss)
+
+tpu_only = pytest.mark.skipif(jax.default_backend() == "cpu",
+                              reason="pallas kernels need the TPU backend")
+
+
+def _features(n=32, d=64, seed=0):
+    rng = np.random.default_rng(seed)
+    f1 = rng.normal(size=(n, d)).astype(np.float32)
+    f2 = rng.normal(size=(n, d)).astype(np.float32)
+    f1 /= np.linalg.norm(f1, axis=1, keepdims=True)
+    f2 /= np.linalg.norm(f2, axis=1, keepdims=True)
+    target = jnp.asarray(rng.integers(0, 4, n))
+    return jnp.asarray(f1), jnp.asarray(f2), target
+
+
+@tpu_only
+def test_fused_supcon_matches_eager():
+    from contrastyou_tpu.ops.pallas import fused_sup_con_loss
+    f1, f2, target = _features()
+    n = f1.shape[0]
+    ref = sup_con_loss(f1, f2, target=target, fused=False)
+    pos, neg = pair_masks_from_target(target, n)
+    pos2, neg2 = _expand_masks(pos, neg, n)
+    z = jnp.concatenate([f1, f2], axis=0)
+    fused = fused_sup_con_loss(z, pos2, neg2, 0.07)
+    assert float(fused) == pytest.approx(float(ref), rel=1e-4)
+
+
+@tpu_only
+def test_fused_supcon_gradient_matches():
+    from contrastyou_tpu.ops.pallas import fused_sup_con_loss
+    f1, f2, target = _features()
+    n = f1.shape[0]
+    pos, neg = pair_masks_from_target(target, n)
+    pos2, neg2 = _expand_masks(pos, neg, n)
+    z = jnp.concatenate([f1, f2], axis=0)
+    g_fused = jax.grad(lambda z: fused_sup_con_loss(z, pos2, neg2, 0.07))(z)
+    g_eager = jax.grad(lambda z: sup_con_loss(z[:n], z[n:], target=target,
+                                              fused=False))(z)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_eager),
+                               atol=5e-3)
+
+
+def test_eager_path_fused_flag_off_on_cpu():
+    # the auto heuristic must never select the pallas path on cpu
+    f1, f2, target = _features(n=300)
+    loss = sup_con_loss(f1, f2, target=target)  # would need fused if TPU+large
+    assert np.isfinite(float(loss))
