@@ -1,5 +1,5 @@
 from .host import (CenterCrop, Compose, HostTransform, LabelRemap, RandomCrop,
-                   Resize, TransformSpec, transform_zoo)
+                   Resize, SobelProcess, TransformSpec, transform_zoo)
 
 __all__ = ["CenterCrop", "Compose", "HostTransform", "LabelRemap", "RandomCrop",
-           "Resize", "TransformSpec", "transform_zoo"]
+           "Resize", "SobelProcess", "TransformSpec", "transform_zoo"]

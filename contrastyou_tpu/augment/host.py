@@ -104,6 +104,19 @@ class Resize(HostTransform):
         return image, label
 
 
+class SobelProcess(HostTransform):
+    """Replace the intensity image with its Sobel edge magnitude
+    (ref: pil_augment.py ``SobelProcess``)."""
+
+    def __call__(self, image, label, rng):
+        from scipy.ndimage import sobel
+        dx = sobel(image, axis=0)
+        dy = sobel(image, axis=1)
+        mag = np.sqrt(dx ** 2 + dy ** 2)
+        mag = mag / (mag.max() + 1e-8)
+        return mag.astype(np.float32), label
+
+
 class LabelRemap(HostTransform):
     """Class remapping for binary sub-tasks (ref: pil_augment ``ToLabel(mapping)``
     used by acdc_lv/rv/myo, semi_seg/augment.py:314-325)."""

@@ -16,13 +16,13 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
-from tqdm import tqdm
 
 from .. import RUN_PATH, success
 from ..configure import yaml_write
 from ..loggers import logger
 from ..meters import (AverageValueDictionaryMeter, AverageValueMeter,
                       MeterInterface, Storage, UniversalDice)
+from ..indicator import Indicator
 from ..writer import SummaryWriter
 from .bundle import ModelBundle
 from .checkpoint import load_checkpoint, restore_train_state, save_checkpoint
@@ -166,9 +166,16 @@ class Trainer:
             return self._start_training()
 
     def _start_training(self) -> float:
-        num_classes = self._bundle.num_classes
+        import os
+        profile = bool(self._config.get("Trainer", {}).get("profile")
+                       or os.environ.get("CONTRASTYOU_PROFILE"))
         for epoch in range(self._cur_epoch, self._max_epoch):
             self._cur_epoch = epoch
+            if profile and epoch == 1:
+                # trace the second epoch (first is compile-heavy); view with
+                # tensorboard or xprof (TPU-native observability — the
+                # reference only had loguru TRACE logging, SURVEY.md §5)
+                jax.profiler.start_trace(str(Path(self._save_dir) / "profile"))
             for hook in self._active_hooks:
                 new = hook.on_epoch_start(self._state.hook_states[hook.name],
                                           epoch)
@@ -190,6 +197,8 @@ class Trainer:
                 self._storage.add_from_meter_interface(epoch=epoch, **stages)
                 self._writer.add_scalars_from_meter_interface(epoch=epoch,
                                                               **stages)
+            if profile and epoch == 1:
+                jax.profiler.stop_trace()
             self.save_to("last")
             if cur_score is not None and cur_score > self._best_score:
                 self._best_score = float(cur_score)
@@ -214,7 +223,7 @@ class Trainer:
                           if self._unlabeled_loader is not None else None)
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), 10_000 + epoch)
         epoch_arr = jnp.int32(epoch)
-        indicator = tqdm(range(self._num_batches), leave=False, dynamic_ncols=True)
+        indicator = Indicator(range(self._num_batches))
         indicator.set_description(f"train {epoch:03d}")
         with meters:
             for it in indicator:
@@ -233,10 +242,10 @@ class Trainer:
                     hm = {k.split("/", 1)[1]: v for k, v in metrics.items()
                           if k.startswith(hook.name + "/")}
                     hook_meters[hook.name].add(**hm)
-                if it % 20 == 0 or it == self._num_batches - 1:
-                    postfix = {"sup": f"{meters['sup_loss'].summary():.3f}",
-                               "reg": f"{meters['reg_loss'].summary():.3f}"}
-                    indicator.set_postfix(postfix)
+                indicator.set_postfix_statics(
+                    {"tra": {"sup": meters["sup_loss"].summary(),
+                             "reg": meters["reg_loss"].summary()}},
+                    force_update=it == self._num_batches - 1)
         stats = dict(meters.statistics())
         lr = float(self._schedule(int(self._state.step)))
         stats.setdefault("tra", {})["lr"] = lr

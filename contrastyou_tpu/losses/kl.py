@@ -62,6 +62,18 @@ class Entropy:
         return entropy_loss(probs, eps=self._eps, reduction=self._reduction)
 
 
+def entropy_prior(probs: jnp.ndarray, prior: Optional[jnp.ndarray] = None,
+                  *, eps: float = 1e-16) -> jnp.ndarray:
+    """log(C) - KL(prior || probs); uniform prior by default
+    (ref: kl.py:63-79 ``EntropyPrior``)."""
+    import math
+    C = probs.shape[-1]
+    if prior is None:
+        prior = jnp.full((C,), 1.0 / C, dtype=probs.dtype)
+    prior = jnp.broadcast_to(prior, probs.shape)
+    return math.log(C) - kl_div(probs, prior, eps=eps)
+
+
 class KLDiv:
     def __init__(self, reduction: str = "mean", eps: float = 1e-16,
                  weight: Optional[Sequence[float]] = None):

@@ -20,13 +20,19 @@ class SemiTrainer(Trainer):
     train_mode = "semi"
     activate_hooks = True
 
-    def inference(self, scan_loader=None, checkpoint: str | None = None) -> dict:
+    def inference(self, scan_loader=None, checkpoint: str | None = None,
+                  save_predictions: bool = False) -> dict:
         """Scan-batched inference: 3D dice + average surface distance
-        (ref: trainer.py:71-122, epochers/epocher.py:174-204)."""
+        (ref: trainer.py:71-122, epochers/epocher.py:174-204); optional
+        per-slice PNG prediction dumps (ref InferenceSaver)."""
         assert self._initialized
         if checkpoint is not None:
             self.resume_from_path(checkpoint)
         loader = scan_loader if scan_loader is not None else self._test_loader
+        saver = None
+        if save_predictions:
+            from .savers import InferenceSaver
+            saver = InferenceSaver(self._save_dir)
         num_classes = self.num_classes
         meters = MeterInterface(default_focus="inference")
         meters.register_meter("loss", AverageValueMeter())
@@ -44,6 +50,12 @@ class SemiTrainer(Trainer):
                 dice.add_counts(inter, union, group_name=batch["scan"])
                 asd.add(np.asarray(pred), batch["target"],
                         group_name=batch["scan"])
+                if saver is not None:
+                    saver.save_batch(image=batch["image"],
+                                     target=batch["target"],
+                                     pred=np.asarray(pred),
+                                     filenames=batch["filename"],
+                                     mask=batch["mask"])
         result = {g: v for g, v in meters.statistics()}["inference"]
         out = {"dice": result["dice"], "asd": result["asd"],
                "loss": float(result["loss"])}

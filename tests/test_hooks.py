@@ -89,10 +89,12 @@ def stepped():
     step = build_train_step(bundle, optimizer, ALL_HOOKS, two_stage=True,
                             mode="semi")
     batch = _batch(with_superpixel=True)
-    state0 = state
-    state1, metrics = step(state0, batch, jax.random.PRNGKey(2), jnp.int32(0))
+    # the step donates its input state; snapshot pre-step values for the tests
+    state0 = jax.tree.map(jnp.array, state)
+    state1, metrics = step(state, batch, jax.random.PRNGKey(2), jnp.int32(0))
+    state1_snap = jax.tree.map(jnp.array, state1)
     state2, metrics2 = step(state1, batch, jax.random.PRNGKey(3), jnp.int32(1))
-    return state0, state1, state2, metrics, metrics2
+    return state0, state1_snap, state2, metrics, metrics2
 
 
 def test_all_hook_losses_finite(stepped):

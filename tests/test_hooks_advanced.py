@@ -174,7 +174,9 @@ def test_pretrain_step_truncated_and_frozen():
         "scan_id": jnp.asarray([0, 0, 0, 1, 1, 1], jnp.int32),
         "patient": jnp.asarray([0, 0, 0, 1, 1, 1], jnp.int32),
         "cycle": jnp.zeros((6,), jnp.int32)}
+    state_snap = jax.tree.map(jnp.array, state)
     new_state, metrics = step(state, batch, jax.random.PRNGKey(3), jnp.int32(0))
+    state = state_snap
     assert np.isfinite(float(metrics["reg_loss"]))
     # encoder moved, decoder frozen
     enc0 = np.asarray(jax.tree.leaves(state.params["Conv1"])[0])

@@ -219,7 +219,7 @@ def test_dice_losses():
     bad = float(dice_loss(pred_bad, target))
     assert perfect < bad
     assert perfect == pytest.approx(0.248, abs=1e-2)
-    S = 2 * 8 * 8
+    S = 8 * 8  # per-sample flattened size (loss averages over the batch)
     expected = 1 - (S + 1) / (2 * S + 1)
     assert float(binary_dice_loss(target[..., 0], target[..., 0])) == \
         pytest.approx(expected, abs=1e-6)

@@ -50,8 +50,10 @@ def _setup():
 def test_sharded_step_matches_single_device():
     state, step, batch = _setup()
     key = jax.random.PRNGKey(5)
+    state_copy = jax.tree.map(jnp.array, state)  # step donates its input
     # single-device reference
     state_ref, metrics_ref = step(state, batch, key, jnp.int32(0))
+    state = state_copy
 
     mesh = make_mesh(8)
     sharded_batch = shard_batch(batch, mesh)
