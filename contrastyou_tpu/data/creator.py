@@ -94,8 +94,10 @@ def _eval_loader(dataset, data_name: str, group_scan: bool) -> BatchLoader:
 
 def create_val_loader(*, test_dataset: SliceDataset, data_name: str,
                       group_scan: bool) -> t.Tuple[BatchLoader, BatchLoader]:
-    n_val = int(len(test_dataset.get_scan_list())
-                * configure_test_ratio(data_name))
+    n_scans = len(test_dataset.get_scan_list())
+    n_val = int(n_scans * configure_test_ratio(data_name))
+    if n_scans >= 2:
+        n_val = min(max(n_val, 1), n_scans - 1)
     val_set, test_set = split_dataset(test_dataset, n_val)
     return (_eval_loader(val_set, data_name, group_scan),
             _eval_loader(test_set, data_name, group_scan))
