@@ -156,6 +156,31 @@ class PretrainEncoderTrainer(Trainer):
         self._pretrain_step = build_pretrain_step(
             self._bundle, self._optimizer, self._active_hooks,
             until=self.forward_until, total_freedom=self.total_freedom)
+        if self._monitor_loader is not None:
+            import optax
+            # monitoring pass: same graph with a zero optimizer, so hook
+            # losses are metered without touching params
+            # (ref: _PretrainInferenceEpocherMixin, epochers/pretrain.py:110-165)
+            self._monitor_step = build_pretrain_step(
+                self._bundle, optax.set_to_zero(), self._active_hooks,
+                until=self.forward_until, total_freedom=False)
+
+    def monitor_epoch(self, epoch: int, num_batches: int = 10) -> dict:
+        """No-update monitoring pass over the monitor loader."""
+        assert self._monitor_loader is not None
+        meters = MeterInterface(default_focus="monitor")
+        meters.register_meter("reg_loss", AverageValueMeter())
+        it_loader = iter(self._monitor_loader)
+        rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), 30_000 + epoch)
+        for it in range(num_batches):
+            batch = self._device_contrast_batch(next(it_loader))
+            # the step donates its input; monitor on a copy
+            state_copy = jax.tree.map(jnp.array, self._state)
+            _, metrics = self._monitor_step(state_copy, batch,
+                                            jax.random.fold_in(rng, it),
+                                            jnp.int32(epoch))
+            meters.add("reg_loss", metrics["reg_loss"])
+        return dict(meters.statistics())
 
     def _param_labels(self):
         """Freeze every layer AFTER the deepest hooked layer
@@ -192,9 +217,12 @@ class PretrainEncoderTrainer(Trainer):
             self._cur_epoch = epoch
             with self._storage:
                 tra = self.tra_epoch(epoch)
-                self._storage.add_from_meter_interface(epoch=epoch, tra=tra)
+                stages = {"tra": tra}
+                if self._monitor_loader is not None:
+                    stages["monitor"] = self.monitor_epoch(epoch)
+                self._storage.add_from_meter_interface(epoch=epoch, **stages)
                 self._writer.add_scalars_from_meter_interface(epoch=epoch,
-                                                              tra=tra)
+                                                              **stages)
             self.save_to("last")
         from .. import success
         success(self._save_dir)

@@ -40,6 +40,26 @@ def safe_save(save_fn, target_path: str | Path) -> None:
             os.unlink(tmp)
 
 
+class ignore_exception:
+    """Context manager swallowing listed exception types
+    (ref: contrastyou/utils/utils.py ``ignore_exception``)."""
+
+    def __init__(self, *exceptions, log: bool = False):
+        self._exceptions = exceptions or (Exception,)
+        self._log = log
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None and issubclass(exc_type, self._exceptions):
+            if self._log:
+                from ..loggers import logger
+                logger.warning(f"ignored {exc_type.__name__}: {exc}")
+            return True
+        return False
+
+
 def flatten_dict(d: Mapping, parent_key: str = "", sep: str = "/") -> dict:
     items: list = []
     for k, v in d.items():

@@ -30,6 +30,7 @@ def test_pretrain_then_finetune(tmp_path):
                        weight=1.0, contrast_on="partition")
     trainer = PretrainEncoderTrainer(
         model=model, contrast_loader=contrast_loader,
+        monitor_loader=contrast_loader,
         save_dir=str(tmp_path / "pretrain"), max_epoch=2, num_batches=3,
         config={"Optim": {"name": "adam", "lr": 1e-3}}, seed=0)
     trainer.register_hooks(hook)
@@ -49,6 +50,8 @@ def test_pretrain_then_finetune(tmp_path):
     assert (tmp_path / "pretrain" / "last").is_dir()
     df = trainer._storage.summary()
     assert any("reg_loss" in c for c in df.columns)
+    # the no-update monitoring pass was metered each epoch
+    assert any(c.startswith("monitor/") for c in df.columns)
 
     # --- fine-tune sweep with the pretrained weights -------------------
     import val as val_module
