@@ -98,6 +98,11 @@ class TrainerHook:
     def eval_params(self, state: Any) -> Optional[Any]:
         return None
 
+    def eval_batch_stats(self, state: Any) -> Optional[Any]:
+        """BN statistics to evaluate with when eval_params is overridden
+        (teachers carry their own running stats)."""
+        return None
+
     def on_epoch_start(self, state: Any, epoch: int) -> Any:
         """Host-side per-epoch state update (rarely needed — prefer in-graph
         schedules from ctx.epoch)."""

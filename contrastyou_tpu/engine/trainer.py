@@ -46,9 +46,11 @@ class Trainer:
                  enable_scale: bool = False, seed: int = 10,
                  criterion: t.Callable | None = None,
                  prob_transform: t.Callable | None = None,
-                 target_num_classes: int | None = None, mesh=None, **kwargs):
+                 target_num_classes: int | None = None, mesh=None,
+                 unroll_steps: int = 1, **kwargs):
         del enable_scale  # bf16 on TPU needs no GradScaler (ref amp/amp.py)
         self._mesh = mesh  # jax.sharding.Mesh -> data-parallel batch sharding
+        self._unroll = max(int(unroll_steps), 1)
         self._criterion = criterion
         self._prob_transform = prob_transform
         self._target_num_classes = target_num_classes
@@ -121,12 +123,20 @@ class Trainer:
 
     def _build_steps(self) -> None:
         if self.train_mode in ("semi", "ft"):
-            self._train_step = build_train_step(
-                self._bundle, self._optimizer, self._active_hooks,
+            step_kwargs = dict(
                 two_stage=self._two_stage, disable_bn=self._disable_bn,
                 mode=self.train_mode, sup_criterion=self._criterion,
                 prob_transform=self._prob_transform,
                 target_num_classes=self._target_num_classes)
+            if self._unroll > 1:
+                from .steps import build_unrolled_train_step
+                self._train_step = build_unrolled_train_step(
+                    self._bundle, self._optimizer, self._active_hooks,
+                    unroll=self._unroll, **step_kwargs)
+            else:
+                self._train_step = build_train_step(
+                    self._bundle, self._optimizer, self._active_hooks,
+                    **step_kwargs)
         self._eval_step = build_eval_step(
             self._bundle, prob_transform=self._prob_transform,
             target_num_classes=self._target_num_classes)
@@ -223,29 +233,54 @@ class Trainer:
                           if self._unlabeled_loader is not None else None)
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), 10_000 + epoch)
         epoch_arr = jnp.int32(epoch)
-        indicator = Indicator(range(self._num_batches))
+        K = self._unroll
+        num_calls = max(self._num_batches // K, 1)
+        indicator = Indicator(range(num_calls))
         indicator.set_description(f"train {epoch:03d}")
+
+        def ingest(metrics, scan_names, n_steps):
+            meters.add("sup_loss", jnp.mean(metrics["sup_loss"]), n=n_steps)
+            meters.add("reg_loss", jnp.mean(metrics["reg_loss"]), n=n_steps)
+            inter = metrics["dice_inter"].reshape(-1,
+                                                  metrics["dice_inter"].shape[-1])
+            union = metrics["dice_union"].reshape(-1, inter.shape[-1])
+            meters["sup_dice"].add_counts(inter, union, group_name=scan_names)
+            for hook in self._active_hooks:
+                hm = {k.split("/", 1)[1]: jnp.mean(v)
+                      for k, v in metrics.items()
+                      if k.startswith(hook.name + "/")}
+                hook_meters[hook.name].add(**hm)
+
         with meters:
             for it in indicator:
-                labeled = next(labeled_iter)
-                unlabeled = next(unlabeled_iter) if unlabeled_iter else None
-                batch = self._device_batches(labeled, unlabeled)
-                step_rng = jax.random.fold_in(rng, it)
-                self._state, metrics = self._train_step(self._state, batch,
-                                                        step_rng, epoch_arr)
-                meters.add("sup_loss", metrics["sup_loss"])
-                meters.add("reg_loss", metrics["reg_loss"])
-                meters["sup_dice"].add_counts(metrics["dice_inter"],
-                                              metrics["dice_union"],
-                                              group_name=labeled["scan"])
-                for hook in self._active_hooks:
-                    hm = {k.split("/", 1)[1]: v for k, v in metrics.items()
-                          if k.startswith(hook.name + "/")}
-                    hook_meters[hook.name].add(**hm)
+                if K == 1:
+                    labeled = next(labeled_iter)
+                    unlabeled = next(unlabeled_iter) if unlabeled_iter else None
+                    batch = self._device_batches(labeled, unlabeled)
+                    step_rng = jax.random.fold_in(rng, it)
+                    self._state, metrics = self._train_step(
+                        self._state, batch, step_rng, epoch_arr)
+                    ingest(metrics, labeled["scan"], 1)
+                else:
+                    from .steps import stack_batches
+                    host_batches, scan_names = [], []
+                    for j in range(K):
+                        labeled = next(labeled_iter)
+                        unlabeled = (next(unlabeled_iter)
+                                     if unlabeled_iter else None)
+                        host_batches.append(
+                            self._device_batches(labeled, unlabeled))
+                        scan_names.extend(labeled["scan"])
+                    rngs = jnp.stack([jax.random.fold_in(rng, it * K + j)
+                                      for j in range(K)])
+                    self._state, metrics = self._train_step(
+                        self._state, stack_batches(host_batches), rngs,
+                        epoch_arr)
+                    ingest(metrics, scan_names, K)
                 indicator.set_postfix_statics(
                     {"tra": {"sup": meters["sup_loss"].summary(),
                              "reg": meters["reg_loss"].summary()}},
-                    force_update=it == self._num_batches - 1)
+                    force_update=it == num_calls - 1)
         stats = dict(meters.statistics())
         lr = float(self._schedule(int(self._state.step)))
         stats.setdefault("tra", {})["lr"] = lr
@@ -253,12 +288,15 @@ class Trainer:
 
     # --- evaluation -------------------------------------------------------
     def _inference_state(self) -> tuple:
-        """(params, batch_stats) used for eval — possibly a hook's teacher."""
+        """(params, batch_stats) used for eval — possibly a hook's teacher
+        (with the teacher's OWN running statistics)."""
         if self._inference_hook is not None:
-            override = self._inference_hook.eval_params(
-                self._state.hook_states.get(self._inference_hook.name))
-            if override is not None:
-                return override, self._state.batch_stats
+            hstate = self._state.hook_states.get(self._inference_hook.name)
+            params = self._inference_hook.eval_params(hstate)
+            if params is not None:
+                stats = self._inference_hook.eval_batch_stats(hstate)
+                return params, (stats if stats is not None
+                                else self._state.batch_stats)
         return self._state.params, self._state.batch_stats
 
     def eval_epoch(self, loader, epoch: int) -> tuple[dict, float]:

@@ -156,3 +156,6 @@ class DifferentiableMeanTeacherTrainerHook(TrainerHook):
 
     def eval_params(self, state):
         return state["teacher_params"]
+
+    def eval_batch_stats(self, state):
+        return state["teacher_batch_stats"]

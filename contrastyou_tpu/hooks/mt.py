@@ -99,6 +99,9 @@ class MeanTeacherTrainerHook(TrainerHook):
         """MTTrainer evaluates on the teacher (ref trainer.py:139-149)."""
         return state["teacher_params"]
 
+    def eval_batch_stats(self, state):
+        return state["teacher_batch_stats"]
+
 
 class UAMeanTeacherTrainerHook(MeanTeacherTrainerHook):
     """Uncertainty-aware MT (ref mt.py:209-276): teacher target averaged over
