@@ -248,8 +248,24 @@ class Trainer:
             for hook in self._active_hooks:
                 hm = {k.split("/", 1)[1]: jnp.mean(v)
                       for k, v in metrics.items()
-                      if k.startswith(hook.name + "/")}
+                      if k.startswith(hook.name + "/") and "/fig/" not in k}
                 hook_meters[hook.name].add(**hm)
+
+        def log_figures(metrics):
+            """First batch of the epoch: render hook figure tensors (sim /
+            joint matrices) to TensorBoard (ref: infonce.py:49-56)."""
+            from ..hooks.savers import joint_2D_figure
+            for k, v in metrics.items():
+                if "fig/" not in k:
+                    continue
+                mat = np.asarray(v)
+                while mat.ndim > 2:
+                    mat = mat[0]
+                try:
+                    joint_2D_figure(mat, tb_writer=self._writer,
+                                    cur_epoch=epoch, tag=k.replace("fig/", ""))
+                except Exception:  # figure rendering must never kill training
+                    logger.warning(f"figure logging failed for {k}")
 
         with meters:
             for it in indicator:
@@ -261,6 +277,8 @@ class Trainer:
                     self._state, metrics = self._train_step(
                         self._state, batch, step_rng, epoch_arr)
                     ingest(metrics, labeled["scan"], 1)
+                    if it == 0:
+                        log_figures(metrics)
                 else:
                     from .steps import stack_batches
                     host_batches, scan_names = [], []
@@ -277,6 +295,8 @@ class Trainer:
                         self._state, stack_batches(host_batches), rngs,
                         epoch_arr)
                     ingest(metrics, scan_names, K)
+                    if it == 0:
+                        log_figures(metrics)
                 indicator.set_postfix_statics(
                     {"tra": {"sup": meters["sup_loss"].summary(),
                              "reg": meters["reg_loss"].summary()}},

@@ -144,6 +144,13 @@ class CrossCorrelationHook(TrainerHook):
                 symmetric=bool(p.get("symmetric", True))))
             total += float(p["weight"]) * rr
             metrics["rr"] = rr
+            if self._save:
+                _, joint = redundancy_criterion(
+                    dist_tf[0], tf_dist[0], alpha=float(p["alpha"]),
+                    lamda=float(p.get("lamda", 1.0)),
+                    symmetric=bool(p.get("symmetric", True)),
+                    return_joint=True)
+                metrics["fig/joint_rr"] = joint
         if "imsat" in self._tiny:
             p = self._tiny["imsat"]
             w = state["imsat_weight"]

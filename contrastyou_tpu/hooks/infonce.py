@@ -71,8 +71,10 @@ class INFONCEHook(TrainerHook):
     def __init__(self, *, name: str, feature_name: str, weight: float = 1.0,
                  spatial_size: Sequence[int] | None = None,
                  data_name: str = "acdc", contrast_on: str = "partition",
-                 point_nums: int = 5, temperature: float = 0.07):
+                 point_nums: int = 5, temperature: float = 0.07,
+                 emit_figures: bool = False):
         super().__init__(hook_name=name, weight=weight)
+        self._emit_figures = bool(emit_figures)
         self._feature_name = feature_name
         self.taps = (feature_name,)
         self._is_encoder = feature_name in ENCODER_NAMES
@@ -115,6 +117,15 @@ class INFONCEHook(TrainerHook):
 
     def loss(self, ctx: StepContext, params, state):
         f1, f2, labels = self._pairs_and_labels(ctx, params)
+        if self._emit_figures:
+            # figure tensors ride the metrics dict under the fig/ prefix; the
+            # trainer renders the first batch of each epoch to TensorBoard
+            # (ref: infonce.py:49-56 figure2board)
+            loss, aux = sup_con_loss(f1, f2, target=labels,
+                                     temperature=self._temperature,
+                                     return_aux=True)
+            return loss, state, {"fig/sim_logits": aux["sim_logits"],
+                                 "fig/pos_mask": aux["pos_mask"]}
         loss = sup_con_loss(f1, f2, target=labels,
                             temperature=self._temperature)
         return loss, state, {}

@@ -250,7 +250,8 @@ class PretrainEncoderTrainer(Trainer):
                 meters.add("reg_loss", metrics["reg_loss"])
                 for hook in self._active_hooks:
                     hm = {k.split("/", 1)[1]: v for k, v in metrics.items()
-                          if k.startswith(hook.name + "/")}
+                          if k.startswith(hook.name + "/")
+                          and "/fig/" not in k}
                     hook_meters[hook.name].add(**hm)
                 if it % 20 == 0:
                     indicator.set_postfix(
