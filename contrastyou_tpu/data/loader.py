@@ -67,7 +67,9 @@ class BatchLoader:
                  batch_size: int | None = None,
                  batch_sampler: t.Iterable[t.List[int]] | None = None,
                  pad_to: int | None = None, seed: int = 0,
-                 prefetch: int = 4, infinite: bool | None = None):
+                 prefetch: int = 4, infinite: bool | None = None,
+                 fast_crop: t.Tuple[int, int, str] | None = None,
+                 num_threads: int = 4):
         assert (sampler is None) != (batch_sampler is None), \
             "provide exactly one of sampler/batch_sampler"
         self._dataset = dataset
@@ -83,6 +85,56 @@ class BatchLoader:
         self.scan_to_id = {s: i for i, s in enumerate(scans)}
         self.num_scans = len(scans)
         self._counter = itertools.count()
+        # native fast path: (out_h, out_w, "random"|"center") crop+collate of
+        # RAM-preloaded uint8 slices through the C++ kernel, bypassing the
+        # per-item Python transform pipeline
+        self._fast_crop = fast_crop
+        self._num_threads = num_threads
+        if fast_crop is not None:
+            from .. import native
+            assert native.available(), "native library unavailable for fast_crop"
+            assert dataset._preload is not None, \
+                "fast_crop needs dataset.preload()"
+            self._fast_rng = np.random.default_rng(seed ^ 0x5F5E1)
+            stems = dataset.get_stem_list()
+            self._fast_meta = []
+            for stem in stems:
+                scan = dataset.get_scan_name(stem)
+                patient, cycle = dataset.get_patient_cycle(scan)
+                self._fast_meta.append(
+                    (stem, scan, dataset.get_partition(stem), patient, cycle))
+
+    def _fast_batch(self, idxs: t.List[int]) -> dict:
+        from .. import native
+        out_h, out_w, mode = self._fast_crop
+        pre = self._dataset._preload
+        img_sub, gt_sub = self._dataset._sub_folders[:2]
+        images = [pre[img_sub][i] for i in idxs]
+        labels = [pre[gt_sub][i] for i in idxs]
+        in_h, in_w = images[0].shape
+        n = len(idxs)
+        if mode == "random":
+            ys = self._fast_rng.integers(0, max(in_h - out_h, 0) + 1, n)
+            xs = self._fast_rng.integers(0, max(in_w - out_w, 0) + 1, n)
+        else:
+            ys = np.full(n, max((in_h - out_h) // 2, 0))
+            xs = np.full(n, max((in_w - out_w) // 2, 0))
+        out_img, out_lab = native.fast_collate_crop(
+            images, labels, ys, xs, out_h, out_w,
+            num_threads=self._num_threads)
+        meta = [self._fast_meta[i] for i in idxs]
+        return {
+            "image": out_img[..., None],
+            "target": out_lab,
+            "partition": np.asarray([m[2] for m in meta], np.int32),
+            "patient": np.asarray([m[3] for m in meta], np.int32),
+            "cycle": np.asarray([m[4] for m in meta], np.int32),
+            "scan_id": np.asarray([self.scan_to_id.get(m[1], -1)
+                                   for m in meta], np.int32),
+            "mask": np.ones(n, bool),
+            "scan": [m[1] for m in meta],
+            "filename": [m[0] for m in meta],
+        }
 
     @property
     def dataset(self):
@@ -110,6 +162,9 @@ class BatchLoader:
                     return
                 if len(idxs) < self._batch_size and self._infinite:
                     return
+                if self._fast_crop is not None:
+                    yield self._fast_batch(idxs)
+                    continue
                 yield collate([self._item(i) for i in idxs], self._batch_size,
                               self.scan_to_id)
         else:
