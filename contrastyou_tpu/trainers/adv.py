@@ -157,7 +157,7 @@ class AdversarialTrainer(Trainer):
                                             steps_per_epoch=self._num_batches)
         self._adv_state = AdvState(
             params=self._state.params, batch_stats=self._state.batch_stats,
-            opt_state=self._state.opt_state,
+            opt_state=self._gen_tx.init(self._state.params),
             disc_params=dvars["params"],
             disc_batch_stats=dvars.get("batch_stats", {}),
             disc_opt_state=self._disc_tx.init(dvars["params"]),
