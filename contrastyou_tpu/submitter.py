@@ -9,7 +9,6 @@ import os
 import subprocess
 import tempfile
 import typing as t
-from pathlib import Path
 
 
 def grid_search(**param_lists: t.Sequence) -> t.Iterator[dict]:

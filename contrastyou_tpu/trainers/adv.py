@@ -18,7 +18,6 @@ import typing as t
 import flax.struct
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from tqdm import tqdm
 

@@ -16,11 +16,9 @@ semi_seg/epochers/pretrain.py:24-187:
 from __future__ import annotations
 
 import typing as t
-from functools import partial
 
 import jax
 import jax.numpy as jnp
-from tqdm import tqdm
 
 from ..engine.hooks import StepContext, TrainerHook, combined_taps
 from ..engine.state import TrainState

@@ -5,7 +5,6 @@ with dice + ASD written to inference_result.json."""
 from __future__ import annotations
 
 import json
-import typing as t
 from pathlib import Path
 
 import jax.numpy as jnp

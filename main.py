@@ -9,7 +9,6 @@ JAX is deterministic given fixed PRNG keys.)
 from __future__ import annotations
 
 import os
-import sys
 from pathlib import Path
 
 import jax
@@ -23,14 +22,13 @@ import jax.numpy as jnp
 from contrastyou_tpu import CONFIG_PATH, DATA_PATH, OPT_PATH
 from contrastyou_tpu.configure import ConfigParser, yaml_load
 from contrastyou_tpu.configure.config import merge
-from contrastyou_tpu.data import data_zoo, get_data
+from contrastyou_tpu.data import get_data
 from contrastyou_tpu.engine.checkpoint import extract_model_params
 from contrastyou_tpu.hooks import create_hook_from_config
 from contrastyou_tpu.loggers import logger
 from contrastyou_tpu.models import get_arch
 from contrastyou_tpu.trainers import trainer_zoo
-from contrastyou_tpu.trainers.pretrain import (PretrainEncoderTrainer,
-                                               get_contrastive_loader)
+from contrastyou_tpu.trainers.pretrain import get_contrastive_loader
 from contrastyou_tpu.utils import fix_all_seed
 
 
