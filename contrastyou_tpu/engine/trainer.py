@@ -51,6 +51,10 @@ class Trainer:
         del enable_scale  # bf16 on TPU needs no GradScaler (ref amp/amp.py)
         self._mesh = mesh  # jax.sharding.Mesh -> data-parallel batch sharding
         self._unroll = max(int(unroll_steps), 1)
+        if self._mesh is not None and self._unroll > 1:
+            raise NotImplementedError(
+                "mesh + unroll_steps: stack sharded batches with a leading "
+                "step axis is not wired yet; use one or the other")
         self._criterion = criterion
         self._prob_transform = prob_transform
         self._target_num_classes = target_num_classes
@@ -235,6 +239,10 @@ class Trainer:
         epoch_arr = jnp.int32(epoch)
         K = self._unroll
         num_calls = max(self._num_batches // K, 1)
+        if K > 1 and self._num_batches % K:
+            logger.warning(
+                f"num_batches={self._num_batches} not divisible by "
+                f"unroll_steps={K}; running {num_calls * K} steps per epoch")
         indicator = Indicator(range(num_calls))
         indicator.set_description(f"train {epoch:03d}")
 
@@ -339,7 +347,12 @@ class Trainer:
 
     # --- checkpointing ----------------------------------------------------
     def save_to(self, name: str = "last") -> str:
+        from ..parallel import is_master
         path = Path(self._save_dir) / name
+        if not is_master():
+            # multi-host: only process 0 writes checkpoints (replaces the
+            # reference's on_master gating, amp/ddp.py:29-33)
+            return str(path)
         save_checkpoint(path, train_state=self._state, host_state={
             "cur_epoch": self._cur_epoch + 1,
             "best_score": float(self._best_score),
