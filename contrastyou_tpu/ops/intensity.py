@@ -13,6 +13,21 @@ def gaussian_noise(images: jnp.ndarray, key: jax.Array, *, std: float = 0.05
     return images + std * jax.random.normal(key, images.shape, images.dtype)
 
 
+def color_jitter(images: jnp.ndarray, key: jax.Array, *,
+                 brightness: float = 0.2, contrast: float = 0.2) -> jnp.ndarray:
+    """Per-sample brightness/contrast jitter on [0,1] grayscale images (the
+    on-device form of the ACDC ColorJitter, semi_seg/augment.py ACDCTransforms2)."""
+    B = images.shape[0]
+    kb, kc = jax.random.split(key)
+    b = jax.random.uniform(kb, (B, 1, 1, 1), minval=1 - brightness,
+                           maxval=1 + brightness)
+    c = jax.random.uniform(kc, (B, 1, 1, 1), minval=1 - contrast,
+                           maxval=1 + contrast)
+    mean = images.mean(axis=(1, 2, 3), keepdims=True)
+    out = (images - mean) * c + mean * b
+    return jnp.clip(out, 0.0, 1.0)
+
+
 def random_cutout(images: jnp.ndarray, key: jax.Array, *,
                   size: Tuple[int, int] = (32, 32)) -> jnp.ndarray:
     """Zero a random (size_h x size_w) box per sample."""

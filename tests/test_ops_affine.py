@@ -102,3 +102,16 @@ def test_jit_compatible():
     x = _img(jax.random.PRNGKey(0))
     a, b = fn(x, jax.random.PRNGKey(5))
     assert a.shape == x.shape and b.shape == x.shape
+
+
+def test_color_jitter():
+    from contrastyou_tpu.ops import color_jitter
+    x = jax.random.uniform(jax.random.PRNGKey(0), (3, 16, 16, 1)) * 0.5 + 0.25
+    out = color_jitter(x, jax.random.PRNGKey(1), brightness=0.3, contrast=0.3)
+    assert out.shape == x.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    assert not np.allclose(np.asarray(out), np.asarray(x))
+    # per-sample factors differ
+    d0 = np.abs(np.asarray(out[0] - x[0])).mean()
+    d1 = np.abs(np.asarray(out[1] - x[1])).mean()
+    assert abs(d0 - d1) > 1e-5
