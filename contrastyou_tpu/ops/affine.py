@@ -87,23 +87,28 @@ def _grid(H: int, W: int) -> jnp.ndarray:
     return jnp.stack([gx, gy], axis=-1)
 
 
-def grid_sample(images: jnp.ndarray, coords: jnp.ndarray, *, order: int
-                ) -> jnp.ndarray:
-    """Sample NHWC ``images`` at normalized (x, y) ``coords`` [B, H', W', 2]
-    with zeros padding; order 0 = nearest, 1 = bilinear."""
+def grid_sample(images: jnp.ndarray, coords: jnp.ndarray, *, order: int,
+                padding: str = "zeros") -> jnp.ndarray:
+    """Sample NHWC ``images`` at normalized (x, y) ``coords`` [B, H', W', 2];
+    order 0 = nearest, 1 = bilinear; padding "zeros" (grid_sample default, the
+    reference behavior) or "edge" (clamp — avoids black borders that pollute
+    BN statistics, see BENCH_NOTES.md)."""
+    assert padding in ("zeros", "edge"), padding
     B, H, W, C = images.shape
     x = (coords[..., 0] + 1.0) * 0.5 * W - 0.5
     y = (coords[..., 1] + 1.0) * 0.5 * H - 0.5
 
     def gather(yi, xi):
-        valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
         yc = jnp.clip(yi, 0, H - 1)
         xc = jnp.clip(xi, 0, W - 1)
         flat = images.reshape(B, H * W, C)
         idx = (yc * W + xc).reshape(B, -1)
         vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
         vals = vals.reshape(*yi.shape, C)
-        return vals * valid[..., None].astype(images.dtype)
+        if padding == "zeros":
+            valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+            vals = vals * valid[..., None].astype(images.dtype)
+        return vals
 
     if order == 0:
         return gather(jnp.round(y).astype(jnp.int32),
@@ -129,15 +134,15 @@ def apply_flips(images: jnp.ndarray, params: GeoParams) -> jnp.ndarray:
                      out[:, :, ::-1, :], out)
 
 
-def apply_geometric(images: jnp.ndarray, params: GeoParams, *, order: int = 1
-                    ) -> jnp.ndarray:
+def apply_geometric(images: jnp.ndarray, params: GeoParams, *, order: int = 1,
+                    padding: str = "zeros") -> jnp.ndarray:
     """Affine (rotate/scale/translate) then mirror, NHWC."""
     B, H, W, _ = images.shape
     mats = affine_matrices(params)
     grid = _grid(H, W)                                     # H, W, 2
     hom = jnp.concatenate([grid, jnp.ones((H, W, 1))], -1)  # H, W, 3
     coords = jnp.einsum("bij,hwj->bhwi", mats, hom)         # B, H, W, 2
-    out = grid_sample(images, coords, order=order)
+    out = grid_sample(images, coords, order=order, padding=padding)
     return apply_flips(out, params)
 
 

@@ -115,3 +115,10 @@ def test_color_jitter():
     d0 = np.abs(np.asarray(out[0] - x[0])).mean()
     d1 = np.abs(np.asarray(out[1] - x[1])).mean()
     assert abs(d0 - d1) > 1e-5
+
+
+def test_edge_padding_no_zeros():
+    x = jnp.ones((1, 16, 16, 1))
+    params = identity_geo_params(1)._replace(tx=jnp.array([1.0]))
+    out = np.asarray(apply_geometric(x, params, order=0, padding="edge"))
+    assert out.min() == 1.0  # clamped, no black border
