@@ -173,6 +173,7 @@ def make_hippocampus_transforms() -> TransformSpec:
 
 transform_zoo = {
     "acdc": lambda: make_acdc_transforms(None),
+    "acdc_superpixel": lambda: make_acdc_transforms(None),
     "acdc_lv": lambda: make_acdc_transforms({0: 0, 1: 0, 2: 0, 3: 1}),
     "acdc_rv": lambda: make_acdc_transforms({0: 0, 1: 1, 2: 0, 3: 0}),
     "acdc_myo": lambda: make_acdc_transforms({0: 0, 1: 0, 2: 1, 3: 0}),

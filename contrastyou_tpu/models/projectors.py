@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .pooling import adaptive_avg_pool2d, adaptive_max_pool2d
@@ -27,7 +28,11 @@ __all__ = ["ProjectionHead", "DenseProjectionHead", "ClusterHead",
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+    # rsqrt(max(sum(x^2), eps^2)) instead of x/max(norm, eps): the norm form
+    # has a NaN GRADIENT at x == 0 (d sqrt at 0), which poisons params the
+    # moment any projected row is exactly zero (e.g. a dead-ReLU feature tile)
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sq, eps * eps))
 
 
 def _pool(x, pool_name: str, spatial_size: Tuple[int, int]):

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..engine.hooks import StepContext, TrainerHook, combined_taps
+from ..indicator import Indicator
 from ..engine.state import TrainState
 from ..engine.trainer import Trainer
 from ..loggers import logger
@@ -237,8 +238,7 @@ class PretrainEncoderTrainer(Trainer):
         it_loader = iter(self._contrast_loader)
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), 20_000 + epoch)
         epoch_arr = jnp.int32(epoch)
-        indicator = tqdm(range(self._num_batches), leave=False,
-                         dynamic_ncols=True)
+        indicator = Indicator(range(self._num_batches))
         indicator.set_description(f"pretrain {epoch:03d}")
         with meters:
             for it in indicator:
@@ -251,9 +251,9 @@ class PretrainEncoderTrainer(Trainer):
                           if k.startswith(hook.name + "/")
                           and "/fig/" not in k}
                     hook_meters[hook.name].add(**hm)
-                if it % 20 == 0:
-                    indicator.set_postfix(
-                        {"reg": f"{meters['reg_loss'].summary():.3f}"})
+                indicator.set_postfix_statics(
+                    {"pretrain": {"reg": meters["reg_loss"].summary()}},
+                    force_update=it == self._num_batches - 1)
         return dict(meters.statistics())
 
 

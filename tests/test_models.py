@@ -146,3 +146,12 @@ def test_get_arch_zoo():
     assert isinstance(m, UNet)
     with pytest.raises(KeyError):
         get_arch("nope")
+
+
+def test_l2_normalize_zero_row_gradient_finite():
+    """Regression: x/max(norm(x), eps) has a NaN gradient at x == 0, which
+    poisoned params one step into superpixel InfoNCE pretraining."""
+    from contrastyou_tpu.models.projectors import l2_normalize
+    x = jnp.zeros((3, 8)).at[0].set(1.0)  # one live row, two zero rows
+    g = jax.grad(lambda a: l2_normalize(a).sum())(x)
+    assert np.isfinite(np.asarray(g)).all()
