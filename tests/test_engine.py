@@ -129,3 +129,31 @@ def test_inference_writes_json(tmp_path):
 def test_trainer_zoo():
     assert trainer_zoo["semi"] is SemiTrainer
     assert trainer_zoo["ft"] is FineTuneTrainer
+
+
+def test_warm_start_from_checkpoint(tmp_path):
+    """Arch.checkpoint path: extract only model params from a full training
+    checkpoint and warm-start a fresh trainer (ref main.py:51-58)."""
+    from contrastyou_tpu.engine.checkpoint import extract_model_params
+
+    lab, unlab, val, tst = _loaders(tmp_path / "d")
+    t1 = FineTuneTrainer(model=_model(), labeled_loader=lab, val_loader=val,
+                         test_loader=None, save_dir=str(tmp_path / "a"),
+                         max_epoch=1, num_batches=2, config=CONFIG, seed=0)
+    t1.init()
+    t1.start_training()
+    trained = t1.state.params
+
+    lab2, _, val2, _ = _loaders(tmp_path / "d2")
+    t2 = FineTuneTrainer(model=_model(), labeled_loader=lab2, val_loader=val2,
+                         test_loader=None, save_dir=str(tmp_path / "b"),
+                         max_epoch=1, num_batches=2, config=CONFIG, seed=99)
+    params = extract_model_params(str(tmp_path / "a" / "last"),
+                                  t1.state.params)
+    t2.load_model_params(params)  # before init -> warm start
+    t2.init()
+    a = np.asarray(jax.tree.leaves(trained)[0])
+    b = np.asarray(jax.tree.leaves(t2.state.params)[0])
+    np.testing.assert_allclose(a, b)
+    # optimizer state is FRESH (only model weights transferred)
+    t2.start_training()  # and training continues fine
