@@ -141,6 +141,16 @@ class BatchLoader:
         return self._dataset
 
     @property
+    def item_shape(self) -> tuple:
+        """Shape of one image item, WITHOUT consuming sampler/rng state (for
+        model-shape probing; a throwaway rng keeps the loader deterministic)."""
+        if self._fast_crop is not None:
+            out_h, out_w, _ = self._fast_crop
+            return (out_h, out_w, 1)
+        item = self._dataset[(0, np.random.default_rng(0))]
+        return tuple(item["image"].shape)
+
+    @property
     def batch_size(self) -> int:
         if self._batch_size is not None:
             return self._batch_size

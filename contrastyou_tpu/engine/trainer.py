@@ -104,8 +104,7 @@ class Trainer:
     # --- initialization -------------------------------------------------
     def init(self) -> None:
         rng = jax.random.PRNGKey(self._seed)
-        batch = next(iter(self._labeled_loader))
-        input_shape = batch["image"].shape[1:]
+        input_shape = self._probe_input_shape()
         self._bundle = ModelBundle.create(self._model, rng, input_shape)
         if getattr(self, "_warm_start_params", None) is not None:
             self._bundle.params = self._warm_start_params
@@ -148,6 +147,24 @@ class Trainer:
     def _param_labels(self):
         """Override to freeze parts of the model (pretrain)."""
         return None
+
+    def _probe_input_shape(self) -> tuple:
+        """One item's shape WITHOUT consuming loader iterator state (a live
+        prefetch iterator per probe would leak threads and race on sampler
+        rng — the train loaders are iterated exactly ONCE, like the
+        reference's iter()'d infinite loaders, main.py:70)."""
+        if hasattr(self._labeled_loader, "item_shape"):
+            return self._labeled_loader.item_shape
+        return next(iter(self._labeled_loader))["image"].shape[1:]
+
+    def _train_iterators(self):
+        """Persistent train iterators, created once."""
+        if not hasattr(self, "_labeled_iter"):
+            self._labeled_iter = iter(self._labeled_loader)
+            self._unlabeled_iter = (iter(self._unlabeled_loader)
+                                    if self._unlabeled_loader is not None
+                                    else None)
+        return self._labeled_iter, self._unlabeled_iter
 
     def load_model_params(self, params) -> None:
         """Warm-start model weights (Arch.checkpoint, ref main.py:51-58)."""
@@ -232,9 +249,7 @@ class Trainer:
                 hook_meters[hook.name] = meters.register_meter(
                     "metrics", AverageValueDictionaryMeter())
 
-        labeled_iter = iter(self._labeled_loader)
-        unlabeled_iter = (iter(self._unlabeled_loader)
-                          if self._unlabeled_loader is not None else None)
+        labeled_iter, unlabeled_iter = self._train_iterators()
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), 10_000 + epoch)
         epoch_arr = jnp.int32(epoch)
         K = self._unroll

@@ -187,8 +187,7 @@ class AdversarialTrainer(Trainer):
         with meters.focus_on("adv_reg"):
             meters.register_meter("dis_loss", AverageValueMeter())
             meters.register_meter("gen_loss", AverageValueMeter())
-        labeled_iter = iter(self._labeled_loader)
-        unlabeled_iter = iter(self._unlabeled_loader)
+        labeled_iter, unlabeled_iter = self._train_iterators()
         indicator = tqdm(range(self._num_batches), leave=False,
                          dynamic_ncols=True)
         indicator.set_description(f"adv {epoch:03d}")

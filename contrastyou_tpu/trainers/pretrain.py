@@ -169,7 +169,9 @@ class PretrainEncoderTrainer(Trainer):
         assert self._monitor_loader is not None
         meters = MeterInterface(default_focus="monitor")
         meters.register_meter("reg_loss", AverageValueMeter())
-        it_loader = iter(self._monitor_loader)
+        if not hasattr(self, "_monitor_iter"):
+            self._monitor_iter = iter(self._monitor_loader)
+        it_loader = self._monitor_iter
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), 30_000 + epoch)
         for it in range(num_batches):
             batch = self._device_contrast_batch(next(it_loader))
@@ -235,7 +237,9 @@ class PretrainEncoderTrainer(Trainer):
             with meters.focus_on(hook.name):
                 hook_meters[hook.name] = meters.register_meter(
                     "metrics", AverageValueDictionaryMeter())
-        it_loader = iter(self._contrast_loader)
+        if not hasattr(self, "_contrast_iter"):
+            self._contrast_iter = iter(self._contrast_loader)
+        it_loader = self._contrast_iter
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), 20_000 + epoch)
         epoch_arr = jnp.int32(epoch)
         indicator = Indicator(range(self._num_batches))

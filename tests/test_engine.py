@@ -157,3 +157,19 @@ def test_warm_start_from_checkpoint(tmp_path):
     np.testing.assert_allclose(a, b)
     # optimizer state is FRESH (only model weights transferred)
     t2.start_training()  # and training continues fine
+
+
+def test_training_is_deterministic(tmp_path):
+    """Same seed -> bit-identical params after training (the JAX-native form
+    of the reference's torch.use_deterministic_algorithms, main.py:112)."""
+    results = []
+    for run in range(2):
+        lab, unlab, val, tst = _loaders(tmp_path / f"d{run}")
+        t = FineTuneTrainer(model=_model(), labeled_loader=lab,
+                            val_loader=None, test_loader=None,
+                            save_dir=str(tmp_path / f"r{run}"), max_epoch=1,
+                            num_batches=3, config=CONFIG, seed=7)
+        t.init()
+        t.start_training()
+        results.append(np.asarray(jax.tree.leaves(t.state.params)[0]))
+    np.testing.assert_array_equal(results[0], results[1])
