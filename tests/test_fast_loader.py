@@ -60,4 +60,6 @@ def test_fast_loader_throughput(tmp_path):
         next(it)
     dt = time.perf_counter() - t0
     slices_per_sec = n * 32 / dt
-    assert slices_per_sec > 2000, f"only {slices_per_sec:.0f} slices/s"
+    # generous floor: absolute numbers live in BENCH_NOTES.md (~8.4k on an
+    # idle host); CI machines may be contended
+    assert slices_per_sec > 500, f"only {slices_per_sec:.0f} slices/s"
