@@ -51,10 +51,6 @@ class Trainer:
         del enable_scale  # bf16 on TPU needs no GradScaler (ref amp/amp.py)
         self._mesh = mesh  # jax.sharding.Mesh -> data-parallel batch sharding
         self._unroll = max(int(unroll_steps), 1)
-        if self._mesh is not None and self._unroll > 1:
-            raise NotImplementedError(
-                "mesh + unroll_steps: stack sharded batches with a leading "
-                "step axis is not wired yet; use one or the other")
         self._criterion = criterion
         self._prob_transform = prob_transform
         self._target_num_classes = target_num_classes
@@ -174,7 +170,8 @@ class Trainer:
             self._warm_start_params = params
 
     # --- device transfer ------------------------------------------------
-    def _device_batches(self, labeled: dict, unlabeled: dict | None) -> dict:
+    def _device_batches(self, labeled: dict, unlabeled: dict | None, *,
+                        shard: bool = True) -> dict:
         out = {"labeled_image": jnp.asarray(labeled["image"]),
                "labeled_target": jnp.asarray(labeled["target"])}
         if unlabeled is not None:
@@ -185,7 +182,7 @@ class Trainer:
             out["unlabeled_cycle"] = jnp.asarray(unlabeled["cycle"])
             if "superpixel" in unlabeled:
                 out["unlabeled_superpixel"] = jnp.asarray(unlabeled["superpixel"])
-        if self._mesh is not None:
+        if shard and self._mesh is not None:
             from ..parallel import shard_batch
             out = shard_batch(out, self._mesh)
         return out
@@ -309,14 +306,20 @@ class Trainer:
                         labeled = next(labeled_iter)
                         unlabeled = (next(unlabeled_iter)
                                      if unlabeled_iter else None)
-                        host_batches.append(
-                            self._device_batches(labeled, unlabeled))
+                        host_batches.append(self._device_batches(
+                            labeled, unlabeled, shard=False))
                         scan_names.extend(labeled["scan"])
                     rngs = jnp.stack([jax.random.fold_in(rng, it * K + j)
                                       for j in range(K)])
+                    stacked = stack_batches(host_batches)
+                    if self._mesh is not None:
+                        # leading axis is the [K] step axis; the per-step
+                        # batch axis (dim 1) is the one sharded over data
+                        from ..parallel import shard_batch
+                        stacked = shard_batch(stacked, self._mesh,
+                                              batch_dim=1)
                     self._state, metrics = self._train_step(
-                        self._state, stack_batches(host_batches), rngs,
-                        epoch_arr)
+                        self._state, stacked, rngs, epoch_arr)
                     ingest(metrics, scan_names, K)
                     if it == 0:
                         log_figures(metrics)

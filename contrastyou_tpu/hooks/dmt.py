@@ -14,6 +14,13 @@ state:
 - ``method3``: teacher <- Adam(EMA(teacher, student), grad_meta(EMA(...)));
 - ``method4``: meta Adam step first (teacher at t+1 produces the target),
                persistent teacher stays at t then EMAs.
+- ``second_order``: the DMTEpcoher meta-update to the STUDENT
+  (semi_seg/epochers/epocher.py:466-487): differentiate the labeled meta loss
+  of the one-virtual-step-EMA'd teacher BACK through the student's own
+  update. The reference builds this with ``create_graph=True`` autograd and
+  parameter surgery (and then visibly drops the meta grad); here it is one
+  nested ``jax.grad`` inside the step's outer grad — the student's gradient
+  includes the second-order term by construction.
 The meta criterion is KL (=CE) or soft dice on the labeled batch
 (ref dmt.py:55 ``meta_criterion in {ce, dice}``).
 """
@@ -31,7 +38,7 @@ from ..losses.dice import dice_loss
 from ..losses.kl import kl_div
 from .mt import ema_update
 
-_METHODS = ("mt", "method1", "method2", "method3", "method4")
+_METHODS = ("mt", "method1", "method2", "method3", "method4", "second_order")
 
 
 class DifferentiableMeanTeacherTrainerHook(TrainerHook):
@@ -121,6 +128,14 @@ class DifferentiableMeanTeacherTrainerHook(TrainerHook):
             cons, new_stats = self._consistency(ctx, t1, stats_t)
             new_state["teacher_opt"] = opt_state
             metrics["teacher_loss"] = meta_loss
+        elif self._method == "second_order":
+            cons, new_stats = self._consistency(ctx, state["teacher_params"],
+                                                state["teacher_batch_stats"])
+            meta_loss = self._second_order_meta(ctx, state, cons)
+            metrics["meta_loss"] = meta_loss
+            new_state["teacher_batch_stats"] = new_stats
+            metrics["consistency_loss"] = cons
+            return cons + meta_loss, new_state, metrics
         else:
             cons, new_stats = self._consistency(ctx, state["teacher_params"],
                                                 state["teacher_batch_stats"])
@@ -128,12 +143,51 @@ class DifferentiableMeanTeacherTrainerHook(TrainerHook):
         metrics["consistency_loss"] = cons
         return cons, new_state, metrics
 
+    def _second_order_meta(self, ctx: StepContext, state, cons):
+        """Meta loss of the virtually-updated teacher, differentiable back to
+        the student (ref epocher.py:466-487):
+        s1 = student - meta_weight * d(sup + 0.1 cons)/d(student)   [inner grad]
+        t1 = 0.999 teacher + 0.001 s1
+        meta = sup_criterion(t1(labeled))
+        The inner ``jax.grad`` is itself differentiated by the step's outer
+        grad — the create_graph=True semantics, with no parameter surgery."""
+        onehot = jax.nn.one_hot(ctx.labeled_target,
+                                ctx.labeled_logits.shape[-1])
+        # the teacher target for the inner consistency term (constant wrt p)
+        (t_logits, _), _ = ctx.bundle.apply_train(
+            jax.lax.stop_gradient(state["teacher_params"]),
+            jax.lax.stop_gradient(state["teacher_batch_stats"]),
+            ctx.unlabeled_image, update_stats=False)
+        t_target = jax.lax.stop_gradient(
+            jax.nn.softmax(ctx.affine_transformer(t_logits), axis=-1))
+        stats = jax.lax.stop_gradient(ctx.batch_stats)
+
+        def inner_loss(p):
+            (l_logits, _), _ = ctx.bundle.apply_train(
+                p, stats, ctx.labeled_image, update_stats=False)
+            sup = kl_div(jax.nn.softmax(l_logits, axis=-1), onehot)
+            (u_logits, _), _ = ctx.bundle.apply_train(
+                p, stats, ctx.unlabeled_image_tf, update_stats=False)
+            student = jax.nn.softmax(u_logits, axis=-1)
+            return sup + 0.1 * jnp.mean((t_target - student) ** 2)
+
+        first_deriv = jax.grad(inner_loss)(ctx.params)  # differentiable
+        s1 = jax.tree.map(lambda v, g: v - self._meta_weight * g,
+                          ctx.params, first_deriv)
+        t1 = jax.tree.map(
+            lambda vt, vs: self._alpha * jax.lax.stop_gradient(vt)
+            + (1.0 - self._alpha) * vs,
+            state["teacher_params"], s1)
+        return self._meta_loss_fn(
+            ctx, t1, jax.lax.stop_gradient(state["teacher_batch_stats"]),
+            train=True)
+
     def post_step(self, ctx: StepContext, new_model_params, state):
         new_state = dict(state)
         alpha = jnp.minimum(1.0 - 1.0 / (state["ema_step"] + 1.0), self._alpha)
         ema_params = ema_update(state["teacher_params"], new_model_params,
                                 alpha, self._weight_decay)
-        if self._method in ("mt", "method2", "method4"):
+        if self._method in ("mt", "method2", "method4", "second_order"):
             new_state["teacher_params"] = ema_params
         elif self._method == "method1":
             # grad at the EMA'd (t+1) teacher, Adam step applied at teacher_t

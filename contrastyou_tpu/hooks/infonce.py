@@ -50,6 +50,25 @@ def contrast_labels(ctx: StepContext, contrast_on: str) -> Optional[jnp.ndarray]
     raise NotImplementedError(contrast_on)
 
 
+def majority_pool_labels(ids: jnp.ndarray, fh: int, fw: int, *,
+                         num_ids: int = 256) -> jnp.ndarray:
+    """Area-majority pooling of an integer id map [B, H, W] to the [fh, fw]
+    feature grid: each cell takes the most frequent id inside its window.
+
+    Replaces the reference's nearest-neighbor downsampling of the superpixel
+    map (semi_seg/hooks/infonce.py:336-341 F.interpolate mode='nearest'),
+    which picks the window's corner pixel — majority keeps the label aligned
+    with the feature cell's whole receptive field. Superpixel ids are uint8 in
+    the reference (infonce.py:332 * 255 -> uint8), hence num_ids=256.
+    """
+    B, H, W = ids.shape
+    ph, pw = max(H // fh, 1), max(W // fw, 1)
+    r = ids[:, :fh * ph, :fw * pw].reshape(B, fh, ph, fw, pw)
+    counts = (r[..., None] == jnp.arange(num_ids, dtype=ids.dtype)
+              ).astype(jnp.int32).sum(axis=(2, 4))               # B,fh,fw,K
+    return jnp.argmax(counts, axis=-1).astype(jnp.int32)
+
+
 def sample_points(features: jnp.ndarray, key: jax.Array, point_nums: int
                   ) -> jnp.ndarray:
     """Pick ``point_nums`` random spatial positions per image -> [B*P, d]
@@ -183,9 +202,10 @@ class SuperPixelInfoNCEHook(INFONCEHook):
         sp = ctx.superpixel.astype(jnp.float32)[..., None]     # [B, H, W, 1]
         sp_tf = ctx.affine_transformer(sp, order=0)
         fh, fw = f1.shape[1], f1.shape[2]
-        ph, pw = sp_tf.shape[1] // fh, sp_tf.shape[2] // fw
-        sp_pooled = sp_tf[:, ::max(ph, 1), ::max(pw, 1), :][:, :fh, :fw, :]
-        sp_points = sample_points(sp_pooled, key, self._point_nums)
+        sp_pooled = majority_pool_labels(
+            sp_tf[..., 0].astype(jnp.int32), fh, fw)           # [B, fh, fw]
+        sp_points = sample_points(sp_pooled[..., None].astype(jnp.float32),
+                                  key, self._point_nums)
         labels = sp_points[:, 0].astype(jnp.int32)
         loss = sup_con_loss(p1, p2, target=labels,
                             temperature=self._temperature)

@@ -64,14 +64,15 @@ class Entropy:
 
 def entropy_prior(probs: jnp.ndarray, prior: Optional[jnp.ndarray] = None,
                   *, eps: float = 1e-16) -> jnp.ndarray:
-    """log(C) - KL(prior || probs); uniform prior by default
-    (ref: kl.py:63-79 ``EntropyPrior``)."""
+    """log(C) - KL with prob=prior, target=probs — i.e. the reference's
+    ``KL_div()(prior, input_)`` call order (ref: kl.py:63-79 ``EntropyPrior``:
+    -sum probs * log((prior+eps)/(probs+eps)), mean-reduced)."""
     import math
     C = probs.shape[-1]
     if prior is None:
         prior = jnp.full((C,), 1.0 / C, dtype=probs.dtype)
     prior = jnp.broadcast_to(prior, probs.shape)
-    return math.log(C) - kl_div(probs, prior, eps=eps)
+    return math.log(C) - kl_div(prior, probs, eps=eps)
 
 
 class KLDiv:

@@ -24,6 +24,11 @@ from jax.experimental.pallas import tpu as pltpu
 BLK = 128
 
 
+def _interpret() -> bool:
+    """Run the kernels in pallas interpret mode off-TPU (CPU test platform)."""
+    return jax.default_backend() == "cpu"
+
+
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
@@ -83,6 +88,7 @@ def _forward(z, pos_mask, neg_mask, temperature):
         out_specs=pl.BlockSpec((Mp // BLK, BLK), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp // BLK, BLK), jnp.float32),
+        interpret=_interpret(),
     )(z_p, z_p.T, pos_p, neg_p)
     return loss_vec.reshape(-1)[:M].mean()
 
@@ -91,21 +97,73 @@ def _fwd(z, pos_mask, neg_mask, temperature):
     return _forward(z, pos_mask, neg_mask, temperature), (z, pos_mask, neg_mask)
 
 
-def _bwd(temperature, residuals, g):
-    z, pos_mask, neg_mask = residuals
-    M = z.shape[0]
-    zf = z.astype(jnp.float32)
-    s = (zf @ zf.T) / temperature
-    m = pos_mask + neg_mask
-    s_masked = jnp.where(m > 0, s, -1e30)
+def _bwd_kernel(z_blk_ref, z_ref, pos_ref, neg_ref, dz_ref, *,
+                temperature, m_total):
+    """One row-block of the analytic gradient, STREAMING: recompute this
+    block's masked softmax from VMEM-resident projections and accumulate both
+    dz contributions (G @ z for the block's rows, G^T @ z_blk for all rows) —
+    no [M, M] tensor ever reaches HBM."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dz_ref[:] = jnp.zeros_like(dz_ref)
+
+    zb = z_blk_ref[:]                                      # [BLK, dp]
+    zfull = z_ref[:]                                       # [Mp, dp]
+    s = jax.lax.dot_general(zb, zfull, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) / temperature
+    pos = pos_ref[:]
+    neg = neg_ref[:]
+    m = pos + neg
+    s_masked = jnp.where(m > 0, s, jnp.float32(-1e30))
     row_max = jnp.max(s_masked, axis=1, keepdims=True)
     e = jnp.where(m > 0, jnp.exp(s - row_max), 0.0)
     p = e / jnp.maximum(e.sum(axis=1, keepdims=True), 1e-16)
-    pos_count = jnp.maximum(pos_mask.sum(axis=1, keepdims=True), 1.0)
-    a = pos_mask / pos_count          # a_ij
-    w = a.sum(axis=1, keepdims=True)  # w_i (1 where positives exist)
-    G = -(a - w * p) / M              # dL/ds_ij
-    dz = ((G + G.T) @ zf) / temperature * g
+    pos_count = jnp.maximum(pos.sum(axis=1, keepdims=True), 1.0)
+    a = pos / pos_count
+    w = a.sum(axis=1, keepdims=True)
+    G = -(a - w * p) / m_total                             # [BLK, Mp]
+
+    # column (transpose) contribution touches every output row
+    trans = jax.lax.dot_general(G, zb, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dz_ref[:] = dz_ref[:] + trans
+    # row (direct) contribution lands on this block's rows only
+    direct = jnp.dot(G, zfull, preferred_element_type=jnp.float32)
+    blk = pl.dslice(i * G.shape[0], G.shape[0])
+    dz_ref[blk, :] = dz_ref[blk, :] + direct
+
+
+def _bwd(temperature, residuals, g):
+    z, pos_mask, neg_mask = residuals
+    M, d = z.shape
+    Mp = _round_up(M, BLK)
+    dp = _round_up(d, 128)
+    z_p = jnp.zeros((Mp, dp), jnp.float32).at[:M, :d].set(z.astype(jnp.float32))
+    pos_p = jnp.zeros((Mp, Mp), jnp.float32).at[:M, :M].set(pos_mask)
+    neg_p = jnp.zeros((Mp, Mp), jnp.float32).at[:M, :M].set(neg_mask)
+
+    grid = (Mp // BLK,)
+    dz_p = pl.pallas_call(
+        functools.partial(_bwd_kernel, temperature=temperature, m_total=M),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BLK, dp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),     # z row block
+            pl.BlockSpec((Mp, dp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),     # z full
+            pl.BlockSpec((BLK, Mp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, Mp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Mp, dp), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, dp), jnp.float32),
+        interpret=_interpret(),
+    )(z_p, z_p, pos_p, neg_p)
+    dz = dz_p[:M, :d] / temperature * g
     return dz.astype(z.dtype), None, None
 
 

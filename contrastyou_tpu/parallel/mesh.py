@@ -44,10 +44,22 @@ def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(devices[:n]).reshape(n), (axis,))
 
 
-def shard_batch(batch: t.Mapping, mesh: Mesh, axis: str = DATA_AXIS):
-    """device_put every array sharded along its leading (batch) dim."""
+def shard_batch(batch: t.Mapping, mesh: Mesh, axis: str = DATA_AXIS, *,
+                batch_dim: int = 0):
+    """device_put every array sharded along its batch dim.
+
+    ``batch_dim=1`` places K-stacked multi-step batches (leading [K] step
+    axis from engine/steps.stack_batches) so that each unrolled step's slice
+    is sharded over the data axis — the mesh x unroll composition.
+    """
     def _put(x):
-        spec = P(axis, *([None] * (np.ndim(x) - 1))) if np.ndim(x) else P()
+        nd = np.ndim(x)
+        if nd <= batch_dim:
+            spec = P()
+        else:
+            parts: list = [None] * nd
+            parts[batch_dim] = axis
+            spec = P(*parts)
         return jax.device_put(x, NamedSharding(mesh, spec))
     return jax.tree.map(_put, dict(batch))
 

@@ -45,16 +45,23 @@ def feature_until_from_hooks(*hooks: TrainerHook,
 
 
 def build_pretrain_step(bundle, optimizer, hooks: t.Sequence[TrainerHook], *,
-                        until: str, total_freedom: bool = True):
+                        until: str, total_freedom: bool = True,
+                        color_jitter: float = 0.0):
     """Jitted contrastive pretrain step: two views, truncated forward,
-    regularizer-only loss (ref: epochers/pretrain.py:62-104)."""
+    regularizer-only loss (ref: epochers/pretrain.py:62-104).
+
+    ``color_jitter`` > 0 applies per-view brightness/contrast jitter of that
+    strength — the on-device form of the per-view ColorJitter in the
+    reference pretrain transforms (semi_seg/augment.py:37-44 ACDC uses
+    [0.5, 1.5] ranges = strength 0.5; prostate [0.9, 1.1] = 0.1).
+    """
     hooks = tuple(hooks)
     taps = combined_taps(hooks)
 
     def loss_fn(trainables, batch_stats, hook_states, batch, rng, epoch):
         params, hook_params = trainables
         image = batch["image"]
-        k1, k2, k_geo, k_int, k_hook = jax.random.split(rng, 5)
+        k1, k2, k_geo, k_int, k_hook, kj1, kj2 = jax.random.split(rng, 7)
         if total_freedom:
             g1 = sample_geo_params(k1, image.shape[0])
             view1 = apply_gamma(apply_geometric(image, g1, order=0), k1)
@@ -63,6 +70,12 @@ def build_pretrain_step(bundle, optimizer, hooks: t.Sequence[TrainerHook], *,
         else:
             view1 = image
             view2_base = image
+        if color_jitter > 0:
+            from ..ops.intensity import color_jitter as _jitter
+            view1 = _jitter(view1, kj1, brightness=color_jitter,
+                            contrast=color_jitter)
+            view2_base = _jitter(view2_base, kj2, brightness=color_jitter,
+                                 contrast=color_jitter)
         geo = sample_geo_params(k_geo, image.shape[0])
         view2 = transform_image(view2_base, geo, k_int)
 
@@ -150,11 +163,22 @@ class PretrainEncoderTrainer(Trainer):
             arch_order(value, elements=UNet.arch_elements)
             self._until = value
 
+    def _jitter_strength(self) -> float:
+        """Per-dataset pretrain ColorJitter strength (ref augment.py:37-44
+        ACDC [0.5,1.5]; :118-124 prostate [0.9,1.1]; others none)."""
+        data_name = str(self._config.get("Data", {}).get("name", ""))
+        if data_name.startswith("acdc"):
+            return 0.5
+        if data_name.startswith("prostate"):
+            return 0.1
+        return 0.0
+
     def _build_steps(self) -> None:
         super()._build_steps()
         self._pretrain_step = build_pretrain_step(
             self._bundle, self._optimizer, self._active_hooks,
-            until=self.forward_until, total_freedom=self.total_freedom)
+            until=self.forward_until, total_freedom=self.total_freedom,
+            color_jitter=self._jitter_strength())
         if self._monitor_loader is not None:
             import optax
             # monitoring pass: same graph with a zero optimizer, so hook

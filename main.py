@@ -59,8 +59,23 @@ def main(argv=None) -> float:
     arch_params = dict(config.get("Arch", {}))
     arch_params.pop("true_num_classes", None)
     checkpoint = arch_params.pop("checkpoint", None)
+    multicore_kwargs = {}
+    model_num_classes = num_classes
+    if trainer_name == "multicore":
+        # model predicts true_classes * multiplier prototype channels
+        # (ref main_multicore.py:50-65; only criterion name "naive" is
+        # runnable in the reference too)
+        mc = config.get("MulticoreParameters", {})
+        crit_name = mc.get("name", "naive")
+        if crit_name != "naive":
+            raise RuntimeError(f"MulticoreParameters.name={crit_name!r} "
+                               "(only 'naive' is supported, as upstream)")
+        multiplier = int(mc.get("multiplier", 2))
+        model_num_classes = num_classes * multiplier
+        multicore_kwargs = dict(true_num_classes=num_classes,
+                                multiplier=multiplier)
     model = get_arch(arch_params.pop("name", "unet"), input_dim=input_dim,
-                     num_classes=num_classes, dtype=jnp.bfloat16,
+                     num_classes=model_num_classes, dtype=jnp.bfloat16,
                      **arch_params)
 
     labeled_loader, unlabeled_loader, val_loader, test_loader = get_data(
@@ -74,7 +89,7 @@ def main(argv=None) -> float:
     kwargs = dict(model=model, labeled_loader=labeled_loader,
                   unlabeled_loader=unlabeled_loader, val_loader=val_loader,
                   test_loader=test_loader, config=config.to_dict(), seed=seed,
-                  **trainer_params)
+                  **multicore_kwargs, **trainer_params)
     if is_pretrain:
         clp = dict(config.get("ContrastiveLoaderParams", {}))
         clp.pop("num_workers", None)

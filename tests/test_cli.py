@@ -40,3 +40,60 @@ def test_main_semi_mt(tmp_path):
     assert (save / ".success").exists()
     inference = json.loads((save / "inference_result.json").read_text())
     assert "DSC_mean" in inference["dice"]
+
+
+@pytest.mark.slow
+def test_main_ft_acdc_lv(tmp_path):
+    """Binary ACDC task: Data.name=acdc_lv remaps labels {3->1, rest->0} and
+    num_classes=2 flows in from opt/acdc_lv.yaml (ref opt/acdc_lv.yaml:1-8)."""
+    data_root = tmp_path / "data"
+    synthesize_acdc_like(data_root, num_train_scans=4, num_val_scans=3,
+                         slices_per_scan=6, size=64)
+    run_dir = tmp_path / "runs"
+    env = dict(os.environ,
+               CONTRASTYOU_DATA_PATH=str(data_root),
+               CONTRASTYOU_RUN_PATH=str(run_dir),
+               CONTRASTYOU_FORCE_CPU="1")
+    cmd = [sys.executable, "main.py",
+           "-p", str(REPO / "config" / "base.yaml"),
+           "-o", "Trainer.name=ft", "Trainer.max_epoch=1",
+           "Trainer.num_batches=3", "Trainer.save_dir=cli_lv",
+           "Data.name=acdc_lv", "Data.labeled_scan_num=2",
+           "Arch.max_channel=128", "LabeledLoader.batch_size=2",
+           "UnlabeledLoader.batch_size=2",
+           "Optim.lr=1e-4", "Scheduler.multiplier=1"]
+    result = subprocess.run(cmd, cwd=str(REPO), env=env, capture_output=True,
+                            text=True, timeout=1200)
+    assert result.returncode == 0, result.stderr[-3000:]
+    save = run_dir / "cli_lv"
+    assert (save / ".success").exists()
+    inference = json.loads((save / "inference_result.json").read_text())
+    assert "DSC_mean" in inference["dice"]
+
+
+@pytest.mark.slow
+def test_main_multicore(tmp_path):
+    """Trainer.name=multicore via CLI: model widens to true*multiplier
+    prototype channels; eval collapses back (ref main_multicore.py:41-80)."""
+    data_root = tmp_path / "data"
+    synthesize_acdc_like(data_root, num_train_scans=4, num_val_scans=3,
+                         slices_per_scan=6, size=64)
+    run_dir = tmp_path / "runs"
+    env = dict(os.environ,
+               CONTRASTYOU_DATA_PATH=str(data_root),
+               CONTRASTYOU_RUN_PATH=str(run_dir),
+               CONTRASTYOU_FORCE_CPU="1")
+    cmd = [sys.executable, "main.py",
+           "-p", str(REPO / "config" / "base.yaml"),
+           str(REPO / "config" / "hooks" / "multicore.yaml"),
+           "-o", "Trainer.name=multicore", "Trainer.max_epoch=1",
+           "Trainer.num_batches=3", "Trainer.save_dir=cli_multicore",
+           "Data.labeled_scan_num=2", "Arch.max_channel=128",
+           "LabeledLoader.batch_size=2", "UnlabeledLoader.batch_size=2",
+           "Optim.lr=1e-4", "Scheduler.multiplier=1",
+           "MulticoreParameters.multiplier=2"]
+    result = subprocess.run(cmd, cwd=str(REPO), env=env, capture_output=True,
+                            text=True, timeout=1200)
+    assert result.returncode == 0, result.stderr[-3000:]
+    save = run_dir / "cli_multicore"
+    assert (save / ".success").exists()

@@ -17,7 +17,9 @@ REPO = Path(__file__).resolve().parents[1]
 PRESETS = sorted((REPO / "config" / "hooks").glob("*.yaml"))
 PRETRAIN_PRESETS = {"infonce.yaml", "infonce_dense.yaml",
                     "infonce_encoder.yaml", "spinfonce.yaml",
-                    "infonce_dense_superpixel.yaml"}
+                    "infonce_dense_superpixel.yaml",
+                    "infonce_encoder_dense.yaml"}
+NO_HOOK_OK = {"multicore.yaml"}  # trainer-level parameters, no hook sections
 NO_HOOK_PRESETS = {"adv.yaml"}  # trainer-level config, no hook sections
 
 
@@ -41,7 +43,7 @@ def test_preset_builds_hooks(preset, bundle):
 
     hooks = create_hook_from_config(config, is_pretrain=is_pretrain,
                                     trainer=FakeTrainer())
-    if preset.name in NO_HOOK_PRESETS:
+    if preset.name in NO_HOOK_PRESETS | NO_HOOK_OK:
         assert hooks == []
         return
     assert hooks, f"{preset.name} produced no hooks"

@@ -85,7 +85,7 @@ def test_ccblock_on_logits():
 
 
 @pytest.mark.parametrize("method", ["mt", "method1", "method2", "method3",
-                                    "method4"])
+                                    "method4", "second_order"])
 def test_dmt_methods(method):
     hook = DifferentiableMeanTeacherTrainerHook(
         name="dmt", weight=1.0, meta_weight=1e-3, meta_criterion="ce",
@@ -97,6 +97,70 @@ def test_dmt_methods(method):
     a = np.asarray(jax.tree.leaves(t0)[0])
     b = np.asarray(jax.tree.leaves(t2)[0])
     assert not np.allclose(a, b)  # teacher moved
+
+
+def test_dmt_second_order_student_meta_gradient():
+    """The second_order method must push a NONZERO second-order meta gradient
+    into the STUDENT: grad of the hook loss wrt student params differs from
+    the plain-mt hook's (whose consistency target is stop-gradded), and the
+    meta term itself has nonzero student grad (ref epocher.py:466-487)."""
+    from contrastyou_tpu.engine.hooks import StepContext
+
+    bundle = _bundle()
+    rng = np.random.default_rng(3)
+    labeled_image = jnp.asarray(rng.random((B, H, H, 1), np.float32))
+    labeled_target = jnp.asarray(rng.integers(0, 4, (B, H, H)), jnp.int32)
+    unlabeled_image = jnp.asarray(rng.random((B, H, H, 1), np.float32))
+
+    hook = DifferentiableMeanTeacherTrainerHook(
+        name="dmt", weight=1.0, meta_weight=1e-2, meta_criterion="ce",
+        method_name="second_order")
+    _, hstate = hook.init(jax.random.PRNGKey(2), bundle)
+    # teacher must differ from the student for a nonzero meta signal
+    hstate["teacher_params"] = jax.tree.map(
+        lambda p: p + 0.01 * jnp.ones_like(p), hstate["teacher_params"])
+
+    def hook_loss(params):
+        ctx = StepContext(bundle=bundle, params=params,
+                          rng=jax.random.PRNGKey(0), epoch=jnp.int32(0))
+        ctx.labeled_image = labeled_image
+        ctx.labeled_target = labeled_target
+        ctx.unlabeled_image = unlabeled_image
+        ctx.unlabeled_image_tf = unlabeled_image
+        (logits, _), stats = bundle.apply_train(params, bundle.batch_stats,
+                                                labeled_image)
+        ctx.labeled_logits = logits
+        ctx.batch_stats = stats
+        (u_logits, _), _ = bundle.apply_train(params, stats, unlabeled_image)
+        ctx.unlabeled_tf_logits = u_logits
+        ctx.geo_params = None
+        ctx.affine_transformer = lambda x, **kw: x  # identity geometry
+        loss, _, metrics = hook.loss(ctx, {}, hstate)
+        return loss, metrics
+
+    (loss, metrics), grads = jax.value_and_grad(hook_loss, has_aux=True)(
+        bundle.params)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(metrics["meta_loss"]))
+
+    # differentiate the META TERM ALONE: its only path to the student is
+    # through the inner jax.grad (the virtual update) — nonzero proves the
+    # second-order signal reaches the student
+    meta_grads = jax.grad(lambda p: hook_loss(p)[1]["meta_loss"])(
+        bundle.params)
+    gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(meta_grads))
+    assert np.isfinite(gnorm) and gnorm > 0.0
+
+
+def test_dmt_second_order_short_run_stable():
+    hook = DifferentiableMeanTeacherTrainerHook(
+        name="dmt", weight=0.1, meta_weight=1e-3, meta_criterion="ce",
+        method_name="second_order")
+    state, metrics = _run_steps([hook], n=2)
+    for m in metrics:
+        assert np.isfinite(float(m["dmt/consistency_loss"]))
+        assert np.isfinite(float(m["dmt/meta_loss"]))
+        assert np.isfinite(float(m["total_loss"]))
 
 
 def test_dmt_dice_meta():

@@ -57,3 +57,66 @@ def test_eager_path_fused_flag_off_on_cpu():
     f1, f2, target = _features(n=300)
     loss = sup_con_loss(f1, f2, target=target)  # would need fused if TPU+large
     assert np.isfinite(float(loss))
+
+
+def _fused_setup(n, d=64, seed=1):
+    from contrastyou_tpu.ops.pallas import fused_sup_con_loss
+    f1, f2, target = _features(n=n, d=d, seed=seed)
+    pos, neg = pair_masks_from_target(target, n)
+    pos2, neg2 = _expand_masks(pos, neg, n)
+    z = jnp.concatenate([f1, f2], axis=0)
+    return fused_sup_con_loss, z, pos2, neg2, f1, f2, target
+
+
+def test_fused_supcon_interpret_value_and_grad():
+    """Off-TPU the kernels run in pallas interpret mode, so the DEFAULT suite
+    covers the streaming forward AND the streaming backward numerics."""
+    n = 32
+    fused, z, pos2, neg2, f1, f2, target = _fused_setup(n)
+    ref = sup_con_loss(f1, f2, target=target, fused=False)
+    assert float(fused(z, pos2, neg2, 0.07)) == pytest.approx(float(ref),
+                                                              rel=1e-5)
+    g_fused = jax.grad(lambda z: fused(z, pos2, neg2, 0.07))(z)
+    g_eager = jax.grad(lambda z: sup_con_loss(z[:n], z[n:], target=target,
+                                              fused=False))(z)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_eager),
+                               atol=1e-6)
+
+
+@tpu_only
+def test_fused_supcon_large_grad_parity():
+    """2N >= 2048 — the scale the kernel exists for (VERDICT r1 item 5)."""
+    n = 1024
+    fused, z, pos2, neg2, f1, f2, target = _fused_setup(n)
+    g_fused = jax.grad(lambda z: fused(z, pos2, neg2, 0.07))(z)
+    g_eager = jax.grad(lambda z: sup_con_loss(z[:n], z[n:], target=target,
+                                              fused=False))(z)
+    denom = float(jnp.abs(g_eager).max())
+    np.testing.assert_allclose(np.asarray(g_fused) / denom,
+                               np.asarray(g_eager) / denom, atol=5e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_fused_supcon_under_data_mesh():
+    """pallas_call with GSPMD-sharded operands: jit over the data mesh must
+    produce the same loss/grad as unsharded (XLA gathers the operands — the
+    kernel itself has no sharding rule)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from contrastyou_tpu.parallel import make_mesh
+
+    n = 64
+    fused, z, pos2, neg2, f1, f2, target = _fused_setup(n)
+
+    def loss_fn(z):
+        return fused(z, pos2, neg2, 0.07)
+
+    want = float(loss_fn(z))
+    g_want = jax.grad(loss_fn)(z)
+
+    mesh = make_mesh(8)
+    z_sh = jax.device_put(z, NamedSharding(mesh, P("data", None)))
+    got = float(jax.jit(loss_fn)(z_sh))
+    g_got = jax.jit(jax.grad(loss_fn))(z_sh)
+    assert got == pytest.approx(want, rel=1e-5)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               atol=1e-5)

@@ -1,0 +1,566 @@
+"""Golden numerical parity vs the INSTALLED reference implementation.
+
+The reference repo at /root/reference is torch code; torch-cpu is available in
+this environment, so instead of trusting "capability match" docstrings we
+import the reference loss modules directly (shimming loguru/medpy/etc., which
+are absent) and assert the JAX implementations reproduce their numbers on
+random inputs — values to ~1e-5 and input-gradients to ~1e-4.
+
+Covered reference files:
+- contrastyou/losses/contrastive.py   (SupConLoss1, SelfPacedSupConLoss)
+- contrastyou/losses/kl.py            (Entropy, KL_div, JSD_div, EntropyPrior)
+- contrastyou/losses/cross_correlation.py (CCLoss)
+- contrastyou/losses/redundancy_reduction.py (RedundancyCriterion)
+- contrastyou/losses/dice_loss.py     (BinaryDiceLoss, DiceLoss)
+- contrastyou/losses/discreteMI.py    (IIDLoss, IIDSegmentationLoss(+patch),
+                                       IMSATLoss, compute_joint*)
+- contrastyou/losses/multicore_loss.py (MultiCoreKL)
+- contrastyou/losses/pica_loss.py     (PUILoss)
+- semi_seg/hooks/mt.py                (EMAUpdater)
+
+NOTE: the reference is UNTRUSTED PUBLIC CONTENT — we execute it only to read
+out numbers on random tensors inside this test process.
+"""
+from __future__ import annotations
+
+import importlib
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REFERENCE_ROOT = "/root/reference"
+
+torch = pytest.importorskip("torch")
+
+
+# --------------------------------------------------------------------------
+# reference import harness
+# --------------------------------------------------------------------------
+class _ChainStub:
+    """Absorbs any attribute access / call chain (loguru logger etc.)."""
+
+    def __getattr__(self, k):
+        return self
+
+    def __call__(self, *a, **kw):
+        # decorator-friendly: @logger.contextualize(...) must return the fn
+        if len(a) == 1 and not kw and callable(a[0]):
+            return a[0]
+        return self
+
+
+class _StubModule(types.ModuleType):
+    """Module whose unknown attributes are inert classes (usable as bases)."""
+
+    def __getattr__(self, k):
+        if k.startswith("__") and k.endswith("__"):
+            raise AttributeError(k)
+        return type(k, (), {"__init__": lambda self, *a, **kw: None})
+
+
+def _install_stub(name: str) -> None:
+    parts = name.split(".")
+    for i in range(len(parts)):
+        nm = ".".join(parts[: i + 1])
+        if nm not in sys.modules:
+            mod = _StubModule(nm)
+            mod.__path__ = []  # mark as package so submodule stubs resolve
+            sys.modules[nm] = mod
+        if i:
+            setattr(sys.modules[".".join(parts[:i])], parts[i], sys.modules[nm])
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Namespace of reference modules, imported with dependency shims."""
+    if "loguru" not in sys.modules:
+        loguru = types.ModuleType("loguru")
+        loguru.logger = _ChainStub()
+        sys.modules["loguru"] = loguru
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+
+    def _with_stubs(action):
+        for _ in range(40):  # stub whatever third-party module is missing
+            try:
+                return action()
+            except ModuleNotFoundError as e:  # noqa: PERF203
+                missing = str(e).split("'")[1]
+                if missing.startswith(("contrastyou", "semi_seg")):
+                    raise
+                _install_stub(missing)
+        raise RuntimeError("could not satisfy reference imports")
+
+    # discreteMI <-> semi_seg.hooks are circular (discreteMI needs
+    # semi_seg.hooks.midl, semi_seg.hooks.cc needs discreteMI); pre-load
+    # midl.py standalone under its dotted name to break the cycle.
+    if "semi_seg.hooks.midl" not in sys.modules:
+        spec = importlib.util.spec_from_file_location(
+            "semi_seg.hooks.midl", f"{REFERENCE_ROOT}/semi_seg/hooks/midl.py")
+        midl = importlib.util.module_from_spec(spec)
+        sys.modules["semi_seg.hooks.midl"] = midl
+        _with_stubs(lambda: spec.loader.exec_module(midl))
+
+    wanted = {
+        "contrastive": "contrastyou.losses.contrastive",
+        "kl": "contrastyou.losses.kl",
+        "cc": "contrastyou.losses.cross_correlation",
+        "rr": "contrastyou.losses.redundancy_reduction",
+        "dice": "contrastyou.losses.dice_loss",
+        "dmi": "contrastyou.losses.discreteMI",
+        "multicore": "contrastyou.losses.multicore_loss",
+        "pica": "contrastyou.losses.pica_loss",
+        "mt": "semi_seg.hooks.mt",
+    }
+    ns = types.SimpleNamespace()
+    for key, modname in wanted.items():
+        setattr(ns, key, _with_stubs(lambda m=modname: importlib.import_module(m)))
+    return ns
+
+
+def _t(x: np.ndarray, grad: bool = False) -> "torch.Tensor":
+    out = torch.from_numpy(np.asarray(x, dtype=np.float32))
+    if grad:
+        out.requires_grad_(True)
+    return out
+
+
+def _np(x) -> np.ndarray:
+    if isinstance(x, torch.Tensor):
+        return x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def _simplex(rng, *shape, axis=-1) -> np.ndarray:
+    x = rng.uniform(0.1, 3.0, size=shape).astype(np.float32)
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return (e / e.sum(axis=axis, keepdims=True)).astype(np.float32)
+
+
+def _l2rows(rng, n, d) -> np.ndarray:
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def _nhwc(x_nchw: np.ndarray) -> np.ndarray:
+    return np.transpose(x_nchw, (0, 2, 3, 1))
+
+
+RNG = np.random.default_rng(0)
+
+
+# --------------------------------------------------------------------------
+# contrastive.py
+# --------------------------------------------------------------------------
+class TestSupCon:
+    def _mine(self, f1, f2, **kw):
+        from contrastyou_tpu.losses.contrastive import sup_con_loss
+        return float(sup_con_loss(jnp.asarray(f1), jnp.asarray(f2),
+                                  fused=False, **kw))
+
+    def test_simclr_identity_mask(self, ref):
+        f1, f2 = _l2rows(RNG, 12, 16), _l2rows(RNG, 12, 16)
+        want = float(ref.contrastive.SupConLoss1()(_t(f1), _t(f2)))
+        got = self._mine(f1, f2)
+        assert got == pytest.approx(want, abs=2e-5)
+
+    def test_labels(self, ref):
+        f1, f2 = _l2rows(RNG, 10, 8), _l2rows(RNG, 10, 8)
+        target = RNG.integers(0, 3, size=10)
+        want = float(ref.contrastive.SupConLoss1()(
+            _t(f1), _t(f2), target=torch.from_numpy(target)))
+        got = self._mine(f1, f2, target=jnp.asarray(target))
+        assert got == pytest.approx(want, abs=2e-5)
+
+    def test_explicit_mask(self, ref):
+        f1, f2 = _l2rows(RNG, 8, 8), _l2rows(RNG, 8, 8)
+        mask = (RNG.uniform(size=(8, 8)) > 0.5).astype(np.float32)
+        mask = np.maximum(mask, np.eye(8, dtype=np.float32))
+        want = float(ref.contrastive.SupConLoss1()(_t(f1), _t(f2), mask=_t(mask)))
+        got = self._mine(f1, f2, mask=jnp.asarray(mask))
+        assert got == pytest.approx(want, abs=2e-5)
+
+    def test_exclude_other_pos(self, ref):
+        f1, f2 = _l2rows(RNG, 10, 8), _l2rows(RNG, 10, 8)
+        target = RNG.integers(0, 2, size=10)
+        want = float(ref.contrastive.SupConLoss1(exclude_other_pos=True)(
+            _t(f1), _t(f2), target=torch.from_numpy(target)))
+        got = self._mine(f1, f2, target=jnp.asarray(target),
+                         exclude_other_pos=True)
+        assert got == pytest.approx(want, abs=2e-5)
+
+    def test_gradient_parity(self, ref):
+        from contrastyou_tpu.losses.contrastive import sup_con_loss
+        f1, f2 = _l2rows(RNG, 8, 8), _l2rows(RNG, 8, 8)
+        target = RNG.integers(0, 2, size=8)
+        tf1 = _t(f1, grad=True)
+        loss = ref.contrastive.SupConLoss1()(tf1, _t(f2),
+                                             target=torch.from_numpy(target))
+        loss.backward()
+        want = _np(tf1.grad)
+        got = np.asarray(jax.grad(
+            lambda a: sup_con_loss(a, jnp.asarray(f2),
+                                   target=jnp.asarray(target), fused=False)
+        )(jnp.asarray(f1)))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    @pytest.mark.parametrize("mode,gamma,correct",
+                             [("hard", 3.5, False), ("hard", 3.5, True),
+                              ("soft", 5.0, False)])
+    def test_self_paced(self, ref, mode, gamma, correct):
+        from contrastyou_tpu.losses.contrastive import self_paced_sup_con_loss
+        f1, f2 = _l2rows(RNG, 10, 8), _l2rows(RNG, 10, 8)
+        target = RNG.integers(0, 3, size=10)
+        crit = ref.contrastive.SelfPacedSupConLoss(weight_update=mode,
+                                                   correct_grad=correct)
+        crit.set_gamma(gamma)
+        want = float(crit(_t(f1), _t(f2), target=torch.from_numpy(target)))
+        loss, metrics = self_paced_sup_con_loss(
+            jnp.asarray(f1), jnp.asarray(f2), gamma=gamma,
+            target=jnp.asarray(target), weight_update=mode,
+            correct_grad=correct)
+        assert float(loss) == pytest.approx(want, abs=5e-5)
+        assert float(metrics["downgrade_ratio"]) == pytest.approx(
+            crit.downgrade_ratio, abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# kl.py
+# --------------------------------------------------------------------------
+class TestKLFamily:
+    def test_entropy(self, ref):
+        from contrastyou_tpu.losses.kl import entropy_loss
+        p = _simplex(RNG, 4, 5, 6, 6, axis=1)  # NCHW simplex
+        want = float(ref.kl.Entropy()(_t(p)))
+        got = float(entropy_loss(jnp.asarray(_nhwc(p))))
+        assert got == pytest.approx(want, rel=1e-6)
+
+    def test_kl_div(self, ref):
+        from contrastyou_tpu.losses.kl import kl_div
+        prob = _simplex(RNG, 4, 5, 6, 6, axis=1)
+        target = _simplex(RNG, 4, 5, 6, 6, axis=1)
+        want = float(ref.kl.KL_div()(_t(prob), _t(target)))
+        got = float(kl_div(jnp.asarray(_nhwc(prob)), jnp.asarray(_nhwc(target))))
+        assert got == pytest.approx(want, rel=1e-6)
+
+    def test_kl_div_weighted(self, ref):
+        from contrastyou_tpu.losses.kl import kl_div
+        prob = _simplex(RNG, 3, 4, 5, 5, axis=1)
+        target = _simplex(RNG, 3, 4, 5, 5, axis=1)
+        w = [1.0, 2.0, 0.5, 4.0]
+        want = float(ref.kl.KL_div(weight=w)(_t(prob), _t(target)))
+        got = float(kl_div(jnp.asarray(_nhwc(prob)), jnp.asarray(_nhwc(target)),
+                           weight=w))
+        assert got == pytest.approx(want, rel=1e-5)
+
+    def test_jsd(self, ref):
+        from contrastyou_tpu.losses.kl import jsd_div
+        ps = [_simplex(RNG, 4, 3, 8, 8, axis=1) for _ in range(3)]
+        want = float(ref.kl.JSD_div()(*[_t(p) for p in ps]))
+        got = float(jsd_div(*[jnp.asarray(_nhwc(p)) for p in ps]))
+        assert got == pytest.approx(want, abs=1e-6)
+
+    def test_entropy_prior(self, ref):
+        from contrastyou_tpu.losses.kl import entropy_prior
+        p = _simplex(RNG, 6, 4, axis=1)
+        want = float(ref.kl.EntropyPrior()(_t(p)))
+        got = float(entropy_prior(jnp.asarray(p)))
+        assert got == pytest.approx(want, rel=1e-5)
+
+
+# --------------------------------------------------------------------------
+# cross_correlation.py
+# --------------------------------------------------------------------------
+def test_cc_loss_parity(ref):
+    from contrastyou_tpu.losses.cross_correlation import windowed_ncc_loss
+    a = RNG.standard_normal((2, 1, 24, 24)).astype(np.float32)
+    b = RNG.standard_normal((2, 1, 24, 24)).astype(np.float32)
+    want = float(ref.cc.CCLoss(win=(5, 5))(_t(a), _t(b)))
+    got = float(windowed_ncc_loss(jnp.asarray(_nhwc(a)), jnp.asarray(_nhwc(b)),
+                                  win=(5, 5)))
+    assert got == pytest.approx(want, rel=1e-4)
+
+
+# --------------------------------------------------------------------------
+# redundancy_reduction.py
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize("alpha", [0.0, 0.4, 1.0])
+def test_redundancy_parity(ref, alpha):
+    from contrastyou_tpu.losses.redundancy import redundancy_criterion
+    x = _simplex(RNG, 2, 4, 12, 12, axis=1)
+    y = _simplex(RNG, 2, 4, 12, 12, axis=1)
+    want = float(ref.rr.RedundancyCriterion(alpha=alpha)(_t(x), _t(y)))
+    got = float(redundancy_criterion(jnp.asarray(_nhwc(x)), jnp.asarray(_nhwc(y)),
+                                     alpha=alpha))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+# --------------------------------------------------------------------------
+# dice_loss.py
+# --------------------------------------------------------------------------
+def test_binary_dice_parity(ref):
+    from contrastyou_tpu.losses.dice import binary_dice_loss
+    pred = RNG.uniform(size=(4, 16, 16)).astype(np.float32)
+    targ = (RNG.uniform(size=(4, 16, 16)) > 0.5).astype(np.float32)
+    want = float(ref.dice.BinaryDiceLoss()(_t(pred), _t(targ)))
+    got = float(binary_dice_loss(jnp.asarray(pred), jnp.asarray(targ)))
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_dice_loss_parity(ref):
+    from contrastyou_tpu.losses.dice import dice_loss
+    pred = _simplex(RNG, 3, 4, 10, 10, axis=1)
+    labels = RNG.integers(0, 4, size=(3, 10, 10))
+    onehot = np.eye(4, dtype=np.float32)[labels].transpose(0, 3, 1, 2)
+    want = float(ref.dice.DiceLoss()(_t(pred), _t(onehot)))
+    got = float(dice_loss(jnp.asarray(_nhwc(pred)), jnp.asarray(_nhwc(onehot))))
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+# --------------------------------------------------------------------------
+# discreteMI.py
+# --------------------------------------------------------------------------
+class TestDiscreteMI:
+    def test_iid_loss(self, ref):
+        from contrastyou_tpu.losses.discrete_mi import iid_loss
+        x = _simplex(RNG, 32, 5)
+        y = _simplex(RNG, 32, 5)
+        w_loss, w_nolamb, w_joint = ref.dmi.IIDLoss(lamb=1.3)(_t(x), _t(y))
+        g_loss, g_nolamb, g_joint = iid_loss(jnp.asarray(x), jnp.asarray(y),
+                                             lamb=1.3)
+        assert float(g_loss) == pytest.approx(float(w_loss), rel=1e-5)
+        assert float(g_nolamb) == pytest.approx(float(w_nolamb), rel=1e-5)
+        np.testing.assert_allclose(np.asarray(g_joint), _np(w_joint), atol=1e-7)
+
+    def test_joint_2d_padding(self, ref):
+        from contrastyou_tpu.losses.discrete_mi import compute_joint_2d
+        x = _simplex(RNG, 2, 3, 10, 10, axis=1)
+        y = _simplex(RNG, 2, 3, 10, 10, axis=1)
+        want = _np(ref.dmi.compute_joint_2D(_t(x), _t(y), symmetric=True,
+                                            padding=2))  # T,T,k,k
+        got = np.asarray(compute_joint_2d(jnp.asarray(_nhwc(x)),
+                                          jnp.asarray(_nhwc(y)),
+                                          symmetric=True, padding=2))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_iid_segmentation_padding0(self, ref):
+        from contrastyou_tpu.losses.discrete_mi import iid_segmentation_loss
+        x = _simplex(RNG, 2, 4, 12, 12, axis=1)
+        y = _simplex(RNG, 2, 4, 12, 12, axis=1)
+        want = float(ref.dmi.IIDSegmentationLoss(lamda=1.0, padding=0)(
+            _t(x), _t(y)))
+        got = float(iid_segmentation_loss(jnp.asarray(_nhwc(x)),
+                                          jnp.asarray(_nhwc(y)),
+                                          lamda=1.0, padding=0))
+        # the loss value is ~1e-4 in magnitude; f32 summation-order noise
+        # between torch and XLA is ~1e-8 absolute
+        assert got == pytest.approx(want, rel=1e-4, abs=1e-7)
+
+    def test_iid_segmentation_padding3(self, ref):
+        from contrastyou_tpu.losses.discrete_mi import iid_segmentation_loss
+        x = _simplex(RNG, 2, 4, 16, 16, axis=1)
+        y = _simplex(RNG, 2, 4, 16, 16, axis=1)
+        want = float(ref.dmi.IIDSegmentationLoss(lamda=1.2, padding=3)(
+            _t(x), _t(y)))
+        got = float(iid_segmentation_loss(jnp.asarray(_nhwc(x)),
+                                          jnp.asarray(_nhwc(y)),
+                                          lamda=1.2, padding=3))
+        assert got == pytest.approx(want, rel=1e-4)
+
+    def test_iid_segmentation_masked(self, ref):
+        from contrastyou_tpu.losses.discrete_mi import iid_segmentation_loss
+        x = _simplex(RNG, 2, 4, 12, 12, axis=1)
+        y = _simplex(RNG, 2, 4, 12, 12, axis=1)
+        m = (RNG.uniform(size=(2, 1, 12, 12)) > 0.3).astype(np.float32)
+        want = float(ref.dmi.IIDSegmentationLoss(padding=0)(
+            _t(x), _t(y), mask=_t(m)))
+        got = float(iid_segmentation_loss(
+            jnp.asarray(_nhwc(x)), jnp.asarray(_nhwc(y)), padding=0,
+            mask=jnp.asarray(_nhwc(m))))
+        assert got == pytest.approx(want, rel=1e-5)
+
+    def test_iid_small_path(self, ref):
+        from contrastyou_tpu.losses.discrete_mi import (
+            iid_segmentation_small_path_loss)
+        x = _simplex(RNG, 2, 3, 48, 48, axis=1)
+        y = _simplex(RNG, 2, 3, 48, 48, axis=1)
+        want = float(ref.dmi.IIDSegmentationSmallPathLoss(
+            lamda=1.0, padding=1, patch_size=32)(_t(x), _t(y)))
+        got = float(iid_segmentation_small_path_loss(
+            jnp.asarray(_nhwc(x)), jnp.asarray(_nhwc(y)),
+            lamda=1.0, padding=1, patch_size=32))
+        assert got == pytest.approx(want, rel=1e-4)
+
+    def test_imsat(self, ref):
+        from contrastyou_tpu.losses.discrete_mi import imsat_loss
+        p = _simplex(RNG, 2, 5, 8, 8, axis=1)  # segmentation-shaped
+        want = float(ref.dmi.imsat_loss(_t(p), lamda=1.1))
+        got = float(imsat_loss(jnp.asarray(_nhwc(p)), lamda=1.1))
+        assert got == pytest.approx(want, rel=1e-4)
+
+
+# --------------------------------------------------------------------------
+# multicore_loss.py / pica_loss.py
+# --------------------------------------------------------------------------
+def test_multicore_kl_parity(ref):
+    from contrastyou_tpu.losses.multicore import MultiCoreKL
+    groups = [[0, 1], [2], [3, 4]]
+    pred = _simplex(RNG, 4, 5, 6, 6, axis=1)
+    labels = RNG.integers(0, 3, size=(4, 6, 6))
+    onehot = np.eye(3, dtype=np.float32)[labels].transpose(0, 3, 1, 2)
+    want = float(ref.multicore.MultiCoreKL(groups=groups)(_t(pred), _t(onehot)))
+    got = float(MultiCoreKL(groups)(jnp.asarray(_nhwc(pred)),
+                                    jnp.asarray(_nhwc(onehot))))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_pui_loss_parity(ref):
+    from contrastyou_tpu.losses.pica import pui_loss
+    x = _simplex(RNG, 24, 6)
+    y = _simplex(RNG, 24, 6)
+    want = float(ref.pica.PUILoss(lamda=2.0)(_t(x), _t(y)))
+    got = float(pui_loss(jnp.asarray(x), jnp.asarray(y), lamda=2.0))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+# --------------------------------------------------------------------------
+# arch/unet.py — forward parity with ported weights
+# --------------------------------------------------------------------------
+class TestUNetForwardParity:
+    """Port the torch UNet weights into the flax UNet (f32) and require the
+    eval-mode forward to agree, including partial forwards (`until`) and taps.
+    Ref: contrastyou/arch/unet.py:49-261.
+    """
+
+    @pytest.fixture(scope="class")
+    def models(self, ref):
+        import importlib as _il
+        runet_mod = None
+        for _ in range(40):
+            try:
+                runet_mod = _il.import_module("contrastyou.arch.unet")
+                break
+            except ModuleNotFoundError as e:
+                missing = str(e).split("'")[1]
+                if missing.startswith(("contrastyou", "semi_seg")):
+                    raise
+                _install_stub(missing)
+        torch.manual_seed(7)
+        tnet = runet_mod.UNet(input_dim=1, num_classes=4, max_channel=128)
+        # move BN running stats off their (0, 1) init so eval-mode parity
+        # actually exercises the ported statistics
+        tnet.train()
+        with torch.no_grad():
+            for _ in range(2):
+                tnet(torch.randn(2, 1, 48, 48))
+        tnet.eval()
+
+        from contrastyou_tpu.models.unet import UNet as JUNet
+        jnet = JUNet(input_dim=1, num_classes=4, max_channel=128,
+                     dtype=jnp.float32)
+        tsd = {k: v.detach() for k, v in tnet.state_dict().items()}
+
+        params, stats = {}, {}
+
+        def port_convblock(tprefix, name):
+            params[name] = {
+                "conv0": {"kernel": _np(tsd[f"{tprefix}.conv.0.weight"]
+                                        .permute(2, 3, 1, 0))},
+                "bn0": {"scale": _np(tsd[f"{tprefix}.conv.1.weight"]),
+                        "bias": _np(tsd[f"{tprefix}.conv.1.bias"])},
+                "conv1": {"kernel": _np(tsd[f"{tprefix}.conv.3.weight"]
+                                        .permute(2, 3, 1, 0))},
+                "bn1": {"scale": _np(tsd[f"{tprefix}.conv.4.weight"]),
+                        "bias": _np(tsd[f"{tprefix}.conv.4.bias"])},
+            }
+            stats[name] = {
+                "bn0": {"mean": _np(tsd[f"{tprefix}.conv.1.running_mean"]),
+                        "var": _np(tsd[f"{tprefix}.conv.1.running_var"])},
+                "bn1": {"mean": _np(tsd[f"{tprefix}.conv.4.running_mean"]),
+                        "var": _np(tsd[f"{tprefix}.conv.4.running_var"])},
+            }
+
+        def port_upconv(tprefix, name):
+            params[name] = {
+                "conv": {"kernel": _np(tsd[f"{tprefix}.up.1.weight"]
+                                       .permute(2, 3, 1, 0))},
+                "bn": {"scale": _np(tsd[f"{tprefix}.up.2.weight"]),
+                       "bias": _np(tsd[f"{tprefix}.up.2.bias"])},
+            }
+            stats[name] = {
+                "bn": {"mean": _np(tsd[f"{tprefix}.up.2.running_mean"]),
+                       "var": _np(tsd[f"{tprefix}.up.2.running_var"])},
+            }
+
+        for i in range(1, 6):
+            port_convblock(f"_Conv{i}", f"Conv{i}")
+        for i in range(2, 6):
+            port_upconv(f"_Up{i}", f"Up{i}")
+            port_convblock(f"_Up_conv{i}", f"Up_conv{i}")
+        params["Deconv_1x1"] = {
+            "kernel": _np(tsd["_Deconv_1x1.weight"].permute(2, 3, 1, 0)),
+            "bias": _np(tsd["_Deconv_1x1.bias"]),
+        }
+        variables = {"params": jax.tree.map(jnp.asarray, params),
+                     "batch_stats": jax.tree.map(jnp.asarray, stats)}
+        return tnet, jnet, variables
+
+    def _compare(self, models, until, atol):
+        tnet, jnet, variables = models
+        x = np.random.default_rng(3).standard_normal((2, 1, 48, 48)
+                                                     ).astype(np.float32)
+        with torch.no_grad():
+            want = _np(tnet(_t(x), until=until))
+        got, _ = jnet.apply(variables, jnp.asarray(_nhwc(x)), until=until,
+                            train=False)
+        got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+        np.testing.assert_allclose(got, want, atol=atol)
+
+    def test_full_forward_logits(self, models):
+        self._compare(models, None, atol=2e-4)
+
+    def test_partial_forward_encoder(self, models):
+        self._compare(models, "Conv3", atol=5e-5)
+
+    def test_partial_forward_decoder(self, models):
+        self._compare(models, "Up_conv4", atol=1e-4)
+
+    def test_taps_match_until(self, models):
+        tnet, jnet, variables = models
+        x = np.random.default_rng(4).standard_normal((1, 1, 48, 48)
+                                                     ).astype(np.float32)
+        _, taps = jnet.apply(variables, jnp.asarray(_nhwc(x)),
+                             taps=("Conv5", "Up_conv2"), train=False)
+        for name, atol in (("Conv5", 5e-5), ("Up_conv2", 2e-4)):
+            with torch.no_grad():
+                want = _np(tnet(_t(x), until=name))
+            got = np.transpose(np.asarray(taps[name]), (0, 3, 1, 2))
+            np.testing.assert_allclose(got, want, atol=atol)
+
+
+# --------------------------------------------------------------------------
+# semi_seg/hooks/mt.py EMAUpdater
+# --------------------------------------------------------------------------
+def test_ema_updater_parity(ref):
+    from contrastyou_tpu.hooks.mt import ema_update
+    alpha, wd = 0.9, 1e-3
+    student = torch.nn.Linear(4, 3)
+    teacher = torch.nn.Linear(4, 3)
+    upd = ref.mt.EMAUpdater(alpha=alpha, justify_alpha=True, weight_decay=wd)
+
+    ema_tree = {"w": jnp.asarray(_np(teacher.weight)),
+                "b": jnp.asarray(_np(teacher.bias))}
+    stu_tree = {"w": jnp.asarray(_np(student.weight)),
+                "b": jnp.asarray(_np(student.bias))}
+    for step in range(4):
+        upd(teacher, student)
+        eff_alpha = min(1 - 1 / (step + 1), alpha)  # justify_alpha schedule
+        ema_tree = ema_update(ema_tree, stu_tree, eff_alpha, weight_decay=wd)
+        np.testing.assert_allclose(np.asarray(ema_tree["w"]),
+                                   _np(teacher.weight), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ema_tree["b"]),
+                                   _np(teacher.bias), atol=1e-6)

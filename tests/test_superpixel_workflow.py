@@ -18,6 +18,33 @@ from contrastyou_tpu.trainers.pretrain import get_contrastive_loader
 SIZE = 32
 
 
+def test_majority_pool_labels_alignment():
+    """Labels pooled to the feature grid must be each window's area-majority
+    id — not the corner pixel the old strided slicing picked — and must track
+    a known geometric shift of the id map."""
+    from contrastyou_tpu.hooks.infonce import majority_pool_labels
+
+    H = FW = 16
+    fh = fw = 4  # 4x4 windows
+    ids = np.zeros((1, H, FW), np.int32)
+    # block-constant map aligned to the feature grid
+    for i in range(fh):
+        for j in range(fw):
+            ids[0, i * 4:(i + 1) * 4, j * 4:(j + 1) * 4] = i * fw + j
+    got = np.asarray(majority_pool_labels(jnp.asarray(ids), fh, fw))
+    want = np.arange(fh * fw).reshape(1, fh, fw)
+    np.testing.assert_array_equal(got, want)
+
+    # shift the map by 1 px: each window still holds a 3x4 (or larger)
+    # majority of its original id -> pooled labels unchanged; the corner-pixel
+    # rule would have flipped the first row/col to the neighbor's id
+    shifted = np.roll(ids, 1, axis=1)
+    got_shift = np.asarray(majority_pool_labels(jnp.asarray(shifted), fh, fw))
+    np.testing.assert_array_equal(got_shift, want)
+    corner = shifted[:, ::4, ::4]  # old strided rule
+    assert not np.array_equal(corner, want)
+
+
 @pytest.mark.slow
 def test_superpixel_pretrain_end_to_end(tmp_path):
     synthesize_acdc_like(tmp_path, num_train_scans=3, num_val_scans=1,
