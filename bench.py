@@ -2,27 +2,35 @@
 
 Replicates the reference's default training configuration
 (config/base.yaml:24-42: batch 5 labeled + 5 unlabeled 224x224 slices,
-max_channel=512 UNet, consistency-style regularization, AMP<->bf16) as the
-jitted TPU train step and measures steady-state slices/sec on one chip.
+max_channel=512 UNet, consistency-style regularization, AMP<->bf16) and
+measures steady-state slices/sec on one chip over THREE input paths:
 
-The measured path is the production trainer path with ``unroll_steps=8``
-(engine/steps.py build_unrolled_train_step): eight optimizer steps per XLA
-dispatch, each on its own batch — identical math to sequential stepping
-(tests/test_chunked_steps.py), amortizing the launch round-trip that
-dominates at the reference batch size. Set CONTRASTYOU_BENCH_UNROLL=1 to
-measure per-step dispatch instead.
+- ``cached``  (HEADLINE, end-to-end): the production device-resident path —
+  the synthetic ACDC split is staged into HBM once and every batch is sampled
+  + cropped in-graph (data/device_cache.py + build_cached_train_step). This
+  includes ALL per-step data work; the host sends one rng key per dispatch.
+- ``hostfed`` (end-to-end): the host loader path — RAM-preloaded dataset,
+  native C++ crop/normalize/collate, K-stacked host batches per dispatch —
+  the path a disk-scale dataset would use, and the closest analogue of the
+  reference's DataLoader loop (semi_seg/epochers/epocher.py:269-295).
+- ``device``  (upper bound): one pre-staged batch reused every step — no
+  input cost at all; isolates the compiled step itself.
 
-Baseline: the reference repo publishes no numbers (BASELINE.md); the
-comparison anchor is the driver north-star "5x A100". A100_SLICES_PER_SEC
-below is the documented estimate of the reference's single-A100 throughput at
-this exact configuration; vs_baseline = measured / A100_SLICES_PER_SEC.
+All three use the same unroll=8 train program (eight optimizer steps per XLA
+dispatch; identical math to sequential stepping, tests/test_chunked_steps.py).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference repo publishes no numbers (BASELINE.md);
+A100_SLICES_PER_SEC is the documented estimate of the reference's single-A100
+throughput at this configuration; vs_baseline = headline / estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...aux}.
+CONTRASTYOU_BENCH_MODE=cached|hostfed|device|all (default all) selects paths.
 """
 from __future__ import annotations
 
 import json
 import os
+import tempfile
 import time
 
 import jax
@@ -37,22 +45,21 @@ A100_SLICES_PER_SEC = 250.0
 BATCH_LABELED = 5
 BATCH_UNLABELED = 5
 SIZE = 224
+RAW_SIZE = 256
 UNROLL = int(os.environ.get("CONTRASTYOU_BENCH_UNROLL", "8"))
 WARMUP_CALLS = 3
 MEASURE_CALLS = max(200 // UNROLL, 20)
+MODE = os.environ.get("CONTRASTYOU_BENCH_MODE", "all")
 
 
-def main() -> None:
+def _build(model_dtype=jnp.bfloat16):
     from contrastyou_tpu.engine import ModelBundle, init_train_state
     from contrastyou_tpu.engine.optim import create_optimizer
-    from contrastyou_tpu.engine.steps import (build_train_step,
-                                              build_unrolled_train_step,
-                                              stack_batches)
     from contrastyou_tpu.hooks import ConsistencyTrainerHook
     from contrastyou_tpu.models import UNet
 
     model = UNet(input_dim=1, num_classes=4, max_channel=512,
-                 dtype=jnp.bfloat16)
+                 dtype=model_dtype)
     bundle = ModelBundle.create(model, jax.random.PRNGKey(0), (SIZE, SIZE, 1))
     hooks = [ConsistencyTrainerHook(weight=1.0)]
     optimizer, _ = create_optimizer(
@@ -60,14 +67,104 @@ def main() -> None:
         {"multiplier": 300, "warmup_max": 10},
         max_epoch=75, steps_per_epoch=200)
     state = init_train_state(bundle, hooks, optimizer, jax.random.PRNGKey(1))
-    if UNROLL > 1:
-        step = build_unrolled_train_step(bundle, optimizer, hooks,
-                                         unroll=UNROLL, two_stage=True,
-                                         mode="semi")
-    else:
-        step = build_train_step(bundle, optimizer, hooks, two_stage=True,
-                                mode="semi")
+    return bundle, hooks, optimizer, state
 
+
+def _timed(fn, n_calls: int, state):
+    for _ in range(WARMUP_CALLS):
+        state = fn(state)
+    jax.block_until_ready(jax.tree.leaves(state.params)[0])
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        state = fn(state)
+    # block on the UPDATED PARAMS of the final call: via the state dependency
+    # chain this forces every step's full forward+backward+update to complete
+    jax.block_until_ready(jax.tree.leaves(state.params)[0])
+    dt = time.perf_counter() - t0
+    return n_calls * UNROLL * (BATCH_LABELED + BATCH_UNLABELED) / dt
+
+
+def _synthetic_split():
+    """Synthetic ACDC at the reference scale: ~174 train scans is the real
+    dataset; 24 scans x 10 slices here keeps staging quick while being far
+    larger than one batch."""
+    from contrastyou_tpu.augment import RandomCrop
+    from contrastyou_tpu.data import (ACDCDataset, split_dataset,
+                                      synthesize_acdc_like)
+    tmp = tempfile.mkdtemp(prefix="bench_data_")
+    synthesize_acdc_like(tmp, num_train_scans=24, num_val_scans=2,
+                         slices_per_scan=10, size=RAW_SIZE)
+    tra = ACDCDataset(root_dir=tmp, mode="train",
+                      transforms=RandomCrop(SIZE))
+    labeled, unlabeled, *_ = split_dataset(tra, 4, seed=1)
+    return labeled, unlabeled
+
+
+def bench_cached(bundle, hooks, optimizer, state):
+    from contrastyou_tpu.data.device_cache import DeviceDataCache
+    from contrastyou_tpu.engine.steps import build_cached_train_step
+    labeled, unlabeled = _synthetic_split()
+    lab_cache = DeviceDataCache.from_dataset(labeled, crop=SIZE)
+    unlab_cache = DeviceDataCache.from_dataset(unlabeled, crop=SIZE)
+    step = build_cached_train_step(
+        bundle, optimizer, hooks, labeled_cache=lab_cache,
+        unlabeled_cache=unlab_cache, labeled_batch=BATCH_LABELED,
+        unlabeled_batch=BATCH_UNLABELED, unroll=UNROLL,
+        two_stage=True, mode="semi")
+    epoch = jnp.int32(0)
+    counter = iter(range(10 ** 9))
+
+    def call(s):
+        s, _ = step(s, jax.random.PRNGKey(next(counter)), epoch)
+        return s
+
+    return _timed(call, MEASURE_CALLS, state)
+
+
+def bench_hostfed(bundle, hooks, optimizer, state):
+    from contrastyou_tpu.data import BatchLoader, InfiniteRandomSampler
+    from contrastyou_tpu.engine.steps import (build_unrolled_train_step,
+                                              stack_batches)
+    labeled, unlabeled = _synthetic_split()
+    labeled.preload()
+    unlabeled.preload()
+    lab = BatchLoader(labeled,
+                      sampler=InfiniteRandomSampler(len(labeled), seed=0),
+                      batch_size=BATCH_LABELED)
+    unlab = BatchLoader(unlabeled,
+                        sampler=InfiniteRandomSampler(len(unlabeled), seed=0),
+                        batch_size=BATCH_UNLABELED)
+    step = build_unrolled_train_step(bundle, optimizer, hooks, unroll=UNROLL,
+                                     two_stage=True, mode="semi")
+    lab_it, unlab_it = iter(lab), iter(unlab)
+    epoch = jnp.int32(0)
+    counter = iter(range(10 ** 9))
+
+    def call(s):
+        batches = []
+        for _ in range(UNROLL):
+            lb, ub = next(lab_it), next(unlab_it)
+            batches.append({
+                "labeled_image": jnp.asarray(lb["image"]),
+                "labeled_target": jnp.asarray(lb["target"]),
+                "unlabeled_image": jnp.asarray(ub["image"]),
+                "unlabeled_partition": jnp.asarray(ub["partition"]),
+                "unlabeled_scan_id": jnp.asarray(ub["scan_id"]),
+                "unlabeled_patient": jnp.asarray(ub["patient"]),
+                "unlabeled_cycle": jnp.asarray(ub["cycle"]),
+            })
+        rngs = jax.random.split(jax.random.PRNGKey(next(counter)), UNROLL)
+        s, _ = step(s, stack_batches(batches), rngs, epoch)
+        return s
+
+    return _timed(call, max(MEASURE_CALLS // 2, 5), state)
+
+
+def bench_device(bundle, hooks, optimizer, state):
+    from contrastyou_tpu.engine.steps import (build_unrolled_train_step,
+                                              stack_batches)
+    step = build_unrolled_train_step(bundle, optimizer, hooks, unroll=UNROLL,
+                                     two_stage=True, mode="semi")
     rng = np.random.default_rng(0)
 
     def mkbatch():
@@ -84,35 +181,36 @@ def main() -> None:
             "unlabeled_cycle": jnp.zeros((BATCH_UNLABELED,), jnp.int32),
         }
 
-    key = jax.random.PRNGKey(2)
+    batch = stack_batches([mkbatch() for _ in range(UNROLL)])
+    rngs = jax.random.split(jax.random.PRNGKey(2), UNROLL)
     epoch = jnp.int32(0)
-    if UNROLL > 1:
-        batch = stack_batches([mkbatch() for _ in range(UNROLL)])
-        rngs = jax.random.split(key, UNROLL)
-        args = (batch, rngs, epoch)
-    else:
-        args = (mkbatch(), key, epoch)
 
-    for _ in range(WARMUP_CALLS):
-        state, metrics = step(state, *args)
-    jax.block_until_ready(jax.tree.leaves(state.params)[0])
+    def call(s):
+        s, _ = step(s, batch, rngs, epoch)
+        return s
 
-    t0 = time.perf_counter()
-    for _ in range(MEASURE_CALLS):
-        state, metrics = step(state, *args)
-    # block on the UPDATED PARAMS of the final call: via the state dependency
-    # chain this forces every step's full forward+backward+update to complete
-    jax.block_until_ready(jax.tree.leaves(state.params)[0])
-    dt = time.perf_counter() - t0
+    return _timed(call, MEASURE_CALLS, state)
 
-    steps_per_sec = MEASURE_CALLS * UNROLL / dt
-    slices_per_sec = steps_per_sec * (BATCH_LABELED + BATCH_UNLABELED)
-    print(json.dumps({
-        "metric": "acdc_semi_train_slices_per_sec_per_chip",
-        "value": round(slices_per_sec, 2),
+
+def main() -> None:
+    results = {}
+    runs = {"cached": bench_cached, "hostfed": bench_hostfed,
+            "device": bench_device}
+    wanted = runs if MODE == "all" else {MODE: runs[MODE]}
+    for name, fn in wanted.items():
+        bundle, hooks, optimizer, state = _build()
+        results[name] = round(fn(bundle, hooks, optimizer, state), 2)
+
+    headline = results.get("cached") or next(iter(results.values()))
+    out = {
+        "metric": "acdc_semi_train_slices_per_sec_per_chip_e2e",
+        "value": headline,
         "unit": "slices/sec/chip",
-        "vs_baseline": round(slices_per_sec / A100_SLICES_PER_SEC, 3),
-    }))
+        "vs_baseline": round(headline / A100_SLICES_PER_SEC, 3),
+    }
+    for name, v in results.items():
+        out[f"aux_{name}"] = v
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -87,7 +87,6 @@ def _eval_loader(dataset, data_name: str, group_scan: bool) -> BatchLoader:
     if group_scan:
         bs = ScanBatchSampler(dataset, shuffle=False)
         return BatchLoader(dataset, batch_sampler=bs, infinite=False)
-    sampler = iter(range(len(dataset)))
     return BatchLoader(dataset, sampler=range(len(dataset)), batch_size=4,
                        infinite=False)
 

@@ -18,16 +18,36 @@ __all__ = ["InfiniteRandomSampler", "ScanBatchSampler", "ContrastBatchSampler"]
 
 
 class InfiniteRandomSampler:
-    def __init__(self, size: int, shuffle: bool = True, seed: int = 0):
+    """Endless reshuffled index stream.
+
+    Multi-host: pass ``process_index``/``process_count`` (or leave None to
+    read them from ``jax``) and each process consumes a DISJOINT stride of
+    the same seeded permutation — the host-sharded input pipeline for the
+    data mesh (every process feeds its local devices a different global-batch
+    shard; the reference's DDP analogue is torch DistributedSampler).
+    """
+
+    def __init__(self, size: int, shuffle: bool = True, seed: int = 0,
+                 process_index: int | None = None,
+                 process_count: int | None = None):
         self._size = size
         self._shuffle = shuffle
         self._rng = np.random.default_rng(seed)
+        self._pi = process_index
+        self._pc = process_count
+
+    def _process_slice(self) -> t.Tuple[int, int]:
+        if self._pi is not None or self._pc is not None:
+            return int(self._pi or 0), int(self._pc or 1)
+        import jax
+        return jax.process_index(), jax.process_count()
 
     def __iter__(self) -> t.Iterator[int]:
+        pi, pc = self._process_slice()
         while True:
             order = (self._rng.permutation(self._size) if self._shuffle
                      else np.arange(self._size))
-            yield from order.tolist()
+            yield from order[pi::pc].tolist()
 
 
 class ScanBatchSampler:

@@ -224,6 +224,61 @@ def stack_batches(batches: Sequence[Dict]) -> Dict:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
 
 
+def build_cached_train_step(bundle: ModelBundle, optimizer,
+                            hooks: Sequence[TrainerHook], *,
+                            labeled_cache, unlabeled_cache=None,
+                            labeled_batch: int = 5, unlabeled_batch: int = 5,
+                            unroll: int = 8, **kwargs) -> Callable:
+    """Fully device-resident hot loop: ``unroll`` train steps per dispatch
+    where each step's batch is SAMPLED IN-GRAPH from DeviceDataCache HBM
+    tensors (gather + per-sample crop) — the host sends only (state, rng,
+    epoch) per dispatch; zero per-step input transfers.
+
+    This is the TPU answer to the reference's host-driven loop
+    (semi_seg/epochers/epocher.py:269-295): at round-1's measured rates the
+    compiled step consumes ~10x what the host pipeline can feed; staging the
+    RAM-scale split into HBM removes the input path from the loop entirely.
+
+    Signature: ``step(state, rng, epoch) -> (state, stacked_metrics)``;
+    metrics additionally carry ``labeled_scan_id`` [unroll, B] so the caller
+    can group dice counts per scan without host-side batch knowledge.
+    """
+    mode = kwargs.get("mode", "semi")
+    if unlabeled_cache is None:
+        kwargs["mode"] = mode = "ft"
+    step = build_train_step(bundle, optimizer, hooks, raw=True, **kwargs)
+
+    def sample_batch(key):
+        kl_, ku = jax.random.split(key)
+        labeled = labeled_cache.sample(kl_, labeled_batch)
+        batch = {"labeled_image": labeled["image"],
+                 "labeled_target": labeled["target"],
+                 "labeled_scan_id": labeled["scan_id"]}
+        if mode == "semi":
+            unlabeled = unlabeled_cache.sample(ku, unlabeled_batch)
+            batch.update(unlabeled_image=unlabeled["image"],
+                         unlabeled_partition=unlabeled["partition"],
+                         unlabeled_scan_id=unlabeled["scan_id"],
+                         unlabeled_patient=unlabeled["patient"],
+                         unlabeled_cycle=unlabeled["cycle"])
+        return batch
+
+    def cached_step(state: TrainState, rng, epoch):
+        all_metrics = []
+        for i in range(unroll):
+            k = jax.random.fold_in(rng, i)
+            k_sample, k_step = jax.random.split(k)
+            batch = sample_batch(k_sample)
+            scan_ids = batch.pop("labeled_scan_id")
+            state, metrics = step(state, batch, k_step, epoch)
+            metrics["labeled_scan_id"] = scan_ids
+            all_metrics.append(metrics)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *all_metrics)
+        return state, stacked
+
+    return jax.jit(cached_step, donate_argnums=(0,))
+
+
 def build_eval_step(bundle: ModelBundle, *,
                     prob_transform: Optional[Callable] = None,
                     target_num_classes: Optional[int] = None) -> Callable:

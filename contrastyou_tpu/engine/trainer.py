@@ -47,10 +47,14 @@ class Trainer:
                  criterion: t.Callable | None = None,
                  prob_transform: t.Callable | None = None,
                  target_num_classes: int | None = None, mesh=None,
-                 unroll_steps: int = 1, **kwargs):
+                 unroll_steps: int = 1, device_cache: bool = False, **kwargs):
         del enable_scale  # bf16 on TPU needs no GradScaler (ref amp/amp.py)
         self._mesh = mesh  # jax.sharding.Mesh -> data-parallel batch sharding
         self._unroll = max(int(unroll_steps), 1)
+        # device_cache: stage the train split into HBM and sample batches
+        # in-graph (data/device_cache.py) — removes the host input pipeline
+        # from the hot loop entirely for RAM-scale datasets
+        self._device_cache = bool(device_cache)
         self._criterion = criterion
         self._prob_transform = prob_transform
         self._target_num_classes = target_num_classes
@@ -127,7 +131,26 @@ class Trainer:
                 mode=self.train_mode, sup_criterion=self._criterion,
                 prob_transform=self._prob_transform,
                 target_num_classes=self._target_num_classes)
-            if self._unroll > 1:
+            if self._device_cache:
+                from ..data.device_cache import DeviceDataCache
+                from .steps import build_cached_train_step
+                crop = int(self._probe_input_shape()[0])
+                self._labeled_cache = DeviceDataCache.from_dataset(
+                    self._labeled_loader.dataset, crop=crop)
+                unlabeled_cache = None
+                if self.train_mode == "semi" and self._unlabeled_loader is not None:
+                    unlabeled_cache = DeviceDataCache.from_dataset(
+                        self._unlabeled_loader.dataset, crop=crop)
+                self._train_step = build_cached_train_step(
+                    self._bundle, self._optimizer, self._active_hooks,
+                    labeled_cache=self._labeled_cache,
+                    unlabeled_cache=unlabeled_cache,
+                    labeled_batch=self._labeled_loader.batch_size,
+                    unlabeled_batch=(self._unlabeled_loader.batch_size
+                                     if self._unlabeled_loader is not None
+                                     else 0),
+                    unroll=self._unroll, **step_kwargs)
+            elif self._unroll > 1:
                 from .steps import build_unrolled_train_step
                 self._train_step = build_unrolled_train_step(
                     self._bundle, self._optimizer, self._active_hooks,
@@ -246,7 +269,8 @@ class Trainer:
                 hook_meters[hook.name] = meters.register_meter(
                     "metrics", AverageValueDictionaryMeter())
 
-        labeled_iter, unlabeled_iter = self._train_iterators()
+        if not self._device_cache:
+            labeled_iter, unlabeled_iter = self._train_iterators()
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), 10_000 + epoch)
         epoch_arr = jnp.int32(epoch)
         K = self._unroll
@@ -284,12 +308,26 @@ class Trainer:
                 try:
                     joint_2D_figure(mat, tb_writer=self._writer,
                                     cur_epoch=epoch, tag=k.replace("fig/", ""))
-                except Exception:  # figure rendering must never kill training
-                    logger.warning(f"figure logging failed for {k}")
+                except (ValueError, RuntimeError, OSError) as e:
+                    # figure rendering must never kill training, but anything
+                    # beyond matplotlib/IO trouble should surface
+                    logger.warning(f"figure logging failed for {k}: {e}")
 
         with meters:
             for it in indicator:
-                if K == 1:
+                if self._device_cache:
+                    # fully device-resident: the step samples its own batches
+                    step_rng = jax.random.fold_in(rng, it)
+                    self._state, metrics = self._train_step(
+                        self._state, step_rng, epoch_arr)
+                    ids = np.asarray(metrics.pop("labeled_scan_id")
+                                     ).reshape(-1)
+                    scan_names = [self._labeled_cache.scan_names[i]
+                                  for i in ids]
+                    ingest(metrics, scan_names, K)
+                    if it == 0:
+                        log_figures(metrics)
+                elif K == 1:
                     labeled = next(labeled_iter)
                     unlabeled = next(unlabeled_iter) if unlabeled_iter else None
                     batch = self._device_batches(labeled, unlabeled)

@@ -19,7 +19,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 import optax
-from tqdm import tqdm
+from ..indicator import Indicator
 
 from ..engine.bundle import ModelBundle
 from ..engine.optim import create_optimizer
@@ -188,8 +188,7 @@ class AdversarialTrainer(Trainer):
             meters.register_meter("dis_loss", AverageValueMeter())
             meters.register_meter("gen_loss", AverageValueMeter())
         labeled_iter, unlabeled_iter = self._train_iterators()
-        indicator = tqdm(range(self._num_batches), leave=False,
-                         dynamic_ncols=True)
+        indicator = Indicator(range(self._num_batches))
         indicator.set_description(f"adv {epoch:03d}")
         with meters:
             for _ in indicator:

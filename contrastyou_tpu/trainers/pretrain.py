@@ -29,7 +29,7 @@ from ..meters import AverageValueDictionaryMeter, AverageValueMeter, MeterInterf
 from ..models import UNet, trainable_mask
 from ..models._base import arch_order
 from ..ops.affine import (apply_gamma, apply_geometric, sample_geo_params,
-                          transform_image)
+                          transform_image, transform_logits)
 
 PRETRAIN_BATCH_SIZE_MAX = 50
 
@@ -89,6 +89,13 @@ def build_pretrain_step(bundle, optimizer, hooks: t.Sequence[TrainerHook], *,
         ctx.unlabeled_image_tf = view2
         ctx.unlabeled_taps = {k: v[:n] for k, v in taps_all.items()}
         ctx.unlabeled_tf_taps = {k: v[n:] for k, v in taps_all.items()}
+        # expose the (possibly truncated) forward output as the "logits" the
+        # reference pretrain epocher hands to logit-space hooks (consistency
+        # under plot_pretrain_cluster.py:80-102; ref epochers/pretrain.py:66-84
+        # does exactly this with the until-truncated forward)
+        ctx.unlabeled_logits = out[:n]
+        ctx.unlabeled_tf_logits = out[n:]
+        ctx.unlabeled_logits_tf = transform_logits(out[:n], geo)
         ctx.batch_stats = batch_stats
         ctx.label_group = batch.get("scan_id")
         ctx.partition_group = batch.get("partition")
@@ -207,13 +214,23 @@ class PretrainEncoderTrainer(Trainer):
             meters.add("reg_loss", metrics["reg_loss"])
         return dict(meters.statistics())
 
+    def _frozen_encoder(self) -> bool:
+        """main_cc.py:93-96: ``CrossCorrelationParameters.train_encoder:
+        false`` freezes the whole encoder during cc pretraining."""
+        cc = self._config.get("CrossCorrelationParameters")
+        if isinstance(cc, t.Mapping) and "train_encoder" in cc:
+            return not bool(cc["train_encoder"])
+        return False
+
     def _param_labels(self):
         """Freeze every layer AFTER the deepest hooked layer
-        (ref main.py:96 switch_grad(False, start=until, include_start=False)).
+        (ref main.py:96 switch_grad(False, start=until, include_start=False)),
+        optionally AND-merged with an encoder freeze (main_cc.py:93-96).
         Returned as a callable so optax.multi_transform derives labels from
         the live (params, hook_params) structure at init time."""
         until = self.forward_until
-        if until == UNet.arch_elements[-1]:
+        freeze_encoder = self._frozen_encoder()
+        if until == UNet.arch_elements[-1] and not freeze_encoder:
             return None
 
         def label_fn(trainables):
@@ -221,6 +238,13 @@ class PretrainEncoderTrainer(Trainer):
             mask = trainable_mask(params, elements=UNet.arch_elements,
                                   enable=False, start=until,
                                   include_start=False)
+            if freeze_encoder:
+                from ..models.masks import merge_masks
+                enc_mask = trainable_mask(
+                    params, elements=UNet.arch_elements, enable=False,
+                    start=UNet.arch_elements[0], end=UNet.decoder_names[0],
+                    include_start=True, include_end=False)
+                mask = merge_masks(mask, enc_mask)
             model_labels = jax.tree.map(
                 lambda m: "train" if m else "freeze", mask)
             hook_labels = jax.tree.map(lambda _: "train", hook_params)

@@ -78,6 +78,22 @@ def test_infinite_sampler():
     assert set(first12[:5]) == set(range(5))  # full permutation per epoch
 
 
+def test_infinite_sampler_process_sharding():
+    """Multi-host input sharding: same seed, different process_index ->
+    disjoint strides of the SAME permutation, union covering the dataset."""
+    n, pc = 16, 2
+    samplers = [InfiniteRandomSampler(n, seed=7, process_index=pi,
+                                      process_count=pc) for pi in range(pc)]
+    per_proc = n // pc
+    streams = [[next(it) for _ in range(2 * per_proc)]
+               for it in map(iter, samplers)]
+    for epoch in range(2):
+        blocks = [set(s[epoch * per_proc:(epoch + 1) * per_proc])
+                  for s in streams]
+        assert blocks[0].isdisjoint(blocks[1])
+        assert blocks[0] | blocks[1] == set(range(n))
+
+
 def test_scan_batch_sampler(train_set):
     s = ScanBatchSampler(train_set)
     batches = list(s)

@@ -210,6 +210,31 @@ def test_hook_creator_reference_config_keys():
         create_hook_from_config(config, is_pretrain=True, trainer=trainer)
 
 
+def test_cc_pretrain_train_encoder_false_freezes_encoder():
+    """main_cc.py:93-96: CrossCorrelationParameters.train_encoder=false must
+    freeze the whole encoder during cc pretraining (optax label tree)."""
+    from contrastyou_tpu.trainers import PretrainEncoderTrainer
+
+    tr = PretrainEncoderTrainer.__new__(PretrainEncoderTrainer)
+    tr._config = {"CrossCorrelationParameters": {"train_encoder": False}}
+    tr._hooks = [INFONCEHook(name="nce", feature_name="Up_conv2", weight=1.0,
+                             contrast_on="partition", spatial_size=(20, 20))]
+    tr._until = None
+    label_fn = tr._param_labels()
+    bundle = _bundle()
+    model_labels, _ = label_fn((bundle.params, {}))
+    flat = {k: set(jax.tree.leaves(v)) for k, v in model_labels.items()}
+    for enc in ("Conv1", "Conv2", "Conv3", "Conv4", "Conv5"):
+        assert flat[enc] == {"freeze"}, enc
+    assert flat["Up_conv2"] == {"train"}       # the hooked decoder layer
+    assert flat["Deconv_1x1"] == {"freeze"}    # after the deepest tap
+
+    # default (train_encoder true / absent): encoder stays trainable
+    tr._config = {}
+    model_labels2, _ = tr._param_labels()((bundle.params, {}))
+    assert set(jax.tree.leaves(model_labels2["Conv1"])) == {"train"}
+
+
 def test_pretrain_step_truncated_and_frozen():
     bundle = _bundle()
     hooks = [INFONCEHook(name="nce", feature_name="Conv5", weight=1.0,
