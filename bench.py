@@ -32,6 +32,7 @@ import json
 import os
 import tempfile
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -161,33 +162,42 @@ def bench_hostfed(bundle, hooks, optimizer, state):
 
 
 def bench_device(bundle, hooks, optimizer, state):
+    """Upper bound: batches are generated IN-GRAPH from the per-call key —
+    fresh contents every step with zero host input cost. (The earlier
+    pre-staged-and-reused batch variant is the exact dispatch shape this
+    backend mis-times by orders of magnitude — see BENCH_NOTES.md.)"""
     from contrastyou_tpu.engine.steps import (build_unrolled_train_step,
                                               stack_batches)
-    step = build_unrolled_train_step(bundle, optimizer, hooks, unroll=UNROLL,
-                                     two_stage=True, mode="semi")
-    rng = np.random.default_rng(0)
+    inner = build_unrolled_train_step(bundle, optimizer, hooks, unroll=UNROLL,
+                                      two_stage=True, mode="semi")
+    epoch = jnp.int32(0)
 
-    def mkbatch():
-        return {
-            "labeled_image": jnp.asarray(
-                rng.random((BATCH_LABELED, SIZE, SIZE, 1), np.float32)),
-            "labeled_target": jnp.asarray(
-                rng.integers(0, 4, (BATCH_LABELED, SIZE, SIZE)), jnp.int32),
-            "unlabeled_image": jnp.asarray(
-                rng.random((BATCH_UNLABELED, SIZE, SIZE, 1), np.float32)),
+    @partial(jax.jit, donate_argnums=0)
+    def step(s, key):
+        ks = jax.random.split(key, 3)
+        rngs = jax.random.split(ks[2], UNROLL)
+        batch = stack_batches([{
+            "labeled_image": jax.random.uniform(
+                jax.random.fold_in(ks[0], k),
+                (BATCH_LABELED, SIZE, SIZE, 1)),
+            "labeled_target": jax.random.randint(
+                jax.random.fold_in(ks[1], k),
+                (BATCH_LABELED, SIZE, SIZE), 0, 4),
+            "unlabeled_image": jax.random.uniform(
+                jax.random.fold_in(ks[0], UNROLL + k),
+                (BATCH_UNLABELED, SIZE, SIZE, 1)),
             "unlabeled_partition": jnp.zeros((BATCH_UNLABELED,), jnp.int32),
             "unlabeled_scan_id": jnp.zeros((BATCH_UNLABELED,), jnp.int32),
             "unlabeled_patient": jnp.zeros((BATCH_UNLABELED,), jnp.int32),
             "unlabeled_cycle": jnp.zeros((BATCH_UNLABELED,), jnp.int32),
-        }
+        } for k in range(UNROLL)])
+        s, _ = inner(s, batch, rngs, epoch)
+        return s
 
-    batch = stack_batches([mkbatch() for _ in range(UNROLL)])
-    rngs = jax.random.split(jax.random.PRNGKey(2), UNROLL)
-    epoch = jnp.int32(0)
+    counter = iter(range(10 ** 9))
 
     def call(s):
-        s, _ = step(s, batch, rngs, epoch)
-        return s
+        return step(s, jax.random.PRNGKey(next(counter)))
 
     return _timed(call, MEASURE_CALLS, state)
 

@@ -21,7 +21,10 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+from .norm import MXUBatchNorm, use_mxu_bn
 
 __all__ = ["UNet", "ConvBlock", "UpConv"]
 
@@ -33,29 +36,100 @@ def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(B, H * 2, W * 2, C)
 
 
+def conv3x3_on_upsampled(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """``conv3x3_SAME(upsample2x_nearest(x), kernel)`` as ONE transposed-style
+    conv — the [B,2H,2W,C] nearest-upsampled intermediate is never built.
+
+    Derivation: nearest-2x == zero-stuffing (lhs_dilation=2) correlated with
+    ones(2,2), so conv3x3 on it == conv over the zero-stuffed input with the
+    4x4 kernel ``w4 = w (*) ones(2,2)`` and padding (2,2). Identical math to
+    upsample-then-conv (profiling showed the reshape in upsample2x_nearest
+    costs ~150 MB/step of layout copies on the TPU backend)."""
+    def sh(dh, dw):
+        return jnp.pad(kernel, ((dh, 1 - dh), (dw, 1 - dw), (0, 0), (0, 0)))
+
+    w4 = sh(0, 0) + sh(1, 0) + sh(0, 1) + sh(1, 1)           # [4,4,Cin,Cout]
+    return jax.lax.conv_general_dilated(
+        x, w4, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class _SplitInputConv(nn.Module):
+    """3x3 conv over the channel-concat of two inputs WITHOUT materializing
+    the concat: conv(concat([a, b]), W) == conv(a, W[:, :, :Ca]) +
+    conv(b, W[:, :, Ca:]). One kernel param, identical tree/init to
+    ``nn.Conv(features, (3,3), use_bias=False)`` over the concat — but XLA
+    never builds the [B,H,W,Ca+Cb] tensor (profiling showed the decoder skip
+    concats cost ~11 ms/step in layout copies on the TPU backend)."""
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, a, b):
+        cin = a.shape[-1] + b.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features), jnp.float32)
+        k = kernel.astype(self.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+        ya = jax.lax.conv_general_dilated(
+            a.astype(self.dtype), k[:, :, :a.shape[-1]], (1, 1), "SAME",
+            dimension_numbers=dn)
+        yb = jax.lax.conv_general_dilated(
+            b.astype(self.dtype), k[:, :, a.shape[-1]:], (1, 1), "SAME",
+            dimension_numbers=dn)
+        return ya + yb
+
+
 class ConvBlock(nn.Module):
-    """Two 3x3 conv + norm + ReLU (ref: unet.py:16-31 ``_ConvBlock``)."""
+    """Two 3x3 conv + norm + ReLU (ref: unet.py:16-31 ``_ConvBlock``).
+
+    When ``skip`` is given, the block behaves exactly as if called on
+    ``concatenate([skip, x], -1)`` (the U-Net decoder pattern) but routes the
+    first conv through :class:`_SplitInputConv` so the concat is never
+    materialized. The param tree is identical either way."""
     features: int
     momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
     norm: str = "batchnorm"
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, *, train: bool = True):
-        for i in range(2):
+    def __call__(self, x, skip=None, *, train: bool = True):
+        if skip is not None:
+            x = _SplitInputConv(self.features, dtype=self.dtype,
+                                name="conv0")(skip, x)
+        else:
             x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
-                        dtype=self.dtype, name=f"conv{i}")(x)
-            x = self._norm(x, train, i)
-            x = nn.relu(x)
+                        dtype=self.dtype, name="conv0")(x)
+        x = self._norm(x, train, 0)
+        x = nn.relu(x)
+        x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = self._norm(x, train, 1)
+        x = nn.relu(x)
         return x
 
     def _norm(self, x, train: bool, i: int):
         if self.norm == "batchnorm":
-            return nn.BatchNorm(use_running_average=not train,
-                                momentum=1.0 - self.momentum, dtype=self.dtype,
-                                name=f"bn{i}")(x)
+            cls = MXUBatchNorm if use_mxu_bn() else nn.BatchNorm
+            return cls(use_running_average=not train,
+                       momentum=1.0 - self.momentum, dtype=self.dtype,
+                       name=f"bn{i}")(x)
         return nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype,
                             name=f"gn{i}")(x)
+
+
+class _UpsampledConv(nn.Module):
+    """kernel param "kernel" (same tree as nn.Conv) applied through
+    :func:`conv3x3_on_upsampled`."""
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, x.shape[-1], self.features), jnp.float32)
+        return conv3x3_on_upsampled(x.astype(self.dtype),
+                                    kernel.astype(self.dtype))
 
 
 class UpConv(nn.Module):
@@ -67,13 +141,14 @@ class UpConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
-        x = upsample2x_nearest(x)
-        x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype, name="conv")(x)
+        # one fused upsample+conv; param tree identical to
+        # nn.Conv(features, (3,3), use_bias=False, name="conv")
+        x = _UpsampledConv(self.features, dtype=self.dtype, name="conv")(x)
         if self.norm == "batchnorm":
-            x = nn.BatchNorm(use_running_average=not train,
-                             momentum=1.0 - self.momentum, dtype=self.dtype,
-                             name="bn")(x)
+            cls = MXUBatchNorm if use_mxu_bn() else nn.BatchNorm
+            x = cls(use_running_average=not train,
+                    momentum=1.0 - self.momentum, dtype=self.dtype,
+                    name="bn")(x)
         else:
             x = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype,
                              name="gn")(x)
@@ -165,20 +240,16 @@ class UNet(nn.Module):
         if emit("Conv5", e5):
             return e5.astype(jnp.float32), collected
 
-        d5 = self.Up_conv5(jnp.concatenate([e4, self.Up5(e5, train=train)], axis=-1),
-                           train=train)
+        d5 = self.Up_conv5(self.Up5(e5, train=train), skip=e4, train=train)
         if emit("Up_conv5", d5):
             return d5.astype(jnp.float32), collected
-        d4 = self.Up_conv4(jnp.concatenate([e3, self.Up4(d5, train=train)], axis=-1),
-                           train=train)
+        d4 = self.Up_conv4(self.Up4(d5, train=train), skip=e3, train=train)
         if emit("Up_conv4", d4):
             return d4.astype(jnp.float32), collected
-        d3 = self.Up_conv3(jnp.concatenate([e2, self.Up3(d4, train=train)], axis=-1),
-                           train=train)
+        d3 = self.Up_conv3(self.Up3(d4, train=train), skip=e2, train=train)
         if emit("Up_conv3", d3):
             return d3.astype(jnp.float32), collected
-        d2 = self.Up_conv2(jnp.concatenate([e1, self.Up2(d3, train=train)], axis=-1),
-                           train=train)
+        d2 = self.Up_conv2(self.Up2(d3, train=train), skip=e1, train=train)
         if emit("Up_conv2", d2):
             return d2.astype(jnp.float32), collected
 

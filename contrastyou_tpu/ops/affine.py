@@ -136,14 +136,24 @@ def apply_flips(images: jnp.ndarray, params: GeoParams) -> jnp.ndarray:
 
 def apply_geometric(images: jnp.ndarray, params: GeoParams, *, order: int = 1,
                     padding: str = "zeros") -> jnp.ndarray:
-    """Affine (rotate/scale/translate) then mirror, NHWC."""
+    """Affine (rotate/scale/translate) then mirror, NHWC.
+
+    The mirror is folded into the sampling matrix (mirror-after-warp ==
+    warp sampled at mirrored output coords, and normalized pixel-center
+    coords are exact sign flips), so the whole geometric transform is ONE
+    gather instead of gather + two masked-select passes (+ their
+    backward) — identical outputs for identical ``GeoParams``."""
     B, H, W, _ = images.shape
     mats = affine_matrices(params)
+    sign_x = jnp.where(params.flip_w, -1.0, 1.0)
+    sign_y = jnp.where(params.flip_h, -1.0, 1.0)
+    col_signs = jnp.stack(
+        [sign_x, sign_y, jnp.ones_like(sign_x)], axis=-1)  # B, 3
+    mats = mats * col_signs[:, None, :]
     grid = _grid(H, W)                                     # H, W, 2
     hom = jnp.concatenate([grid, jnp.ones((H, W, 1))], -1)  # H, W, 3
     coords = jnp.einsum("bij,hwj->bhwi", mats, hom)         # B, H, W, 2
-    out = grid_sample(images, coords, order=order, padding=padding)
-    return apply_flips(out, params)
+    return grid_sample(images, coords, order=order, padding=padding)
 
 
 def apply_gamma(images: jnp.ndarray, key: jax.Array, *,
