@@ -29,9 +29,23 @@ import jax.numpy as jnp
 __all__ = ["MXUBatchNorm", "use_mxu_bn"]
 
 
-def use_mxu_bn() -> bool:
-    """Env-gated selection so the two implementations can be A/B benched."""
-    return os.environ.get("CONTRASTYOU_MXU_BN", "0") == "1"
+def use_mxu_bn(features: int | None = None) -> bool:
+    """Env-gated selection so the two implementations can be A/B benched.
+
+    ``CONTRASTYOU_MXU_BN=1`` uses MXU reductions everywhere; an integer > 1
+    uses them only for layers with ``features`` <= that value (the Gram-diag
+    trick wastes C^2 MXU work, so it only pays where XLA's convert_reduce is
+    pathological — the wide-spatial small-C layers)."""
+    raw = os.environ.get("CONTRASTYOU_MXU_BN", "0")
+    try:
+        val = int(raw)
+    except ValueError:
+        return False
+    if val <= 0:
+        return False
+    if val == 1 or features is None:
+        return True
+    return features <= val
 
 
 def _batch_dims(x):

@@ -110,7 +110,7 @@ class ConvBlock(nn.Module):
 
     def _norm(self, x, train: bool, i: int):
         if self.norm == "batchnorm":
-            cls = MXUBatchNorm if use_mxu_bn() else nn.BatchNorm
+            cls = MXUBatchNorm if use_mxu_bn(self.features) else nn.BatchNorm
             return cls(use_running_average=not train,
                        momentum=1.0 - self.momentum, dtype=self.dtype,
                        name=f"bn{i}")(x)
@@ -145,7 +145,7 @@ class UpConv(nn.Module):
         # nn.Conv(features, (3,3), use_bias=False, name="conv")
         x = _UpsampledConv(self.features, dtype=self.dtype, name="conv")(x)
         if self.norm == "batchnorm":
-            cls = MXUBatchNorm if use_mxu_bn() else nn.BatchNorm
+            cls = MXUBatchNorm if use_mxu_bn(self.features) else nn.BatchNorm
             x = cls(use_running_average=not train,
                     momentum=1.0 - self.momentum, dtype=self.dtype,
                     name="bn")(x)
