@@ -80,42 +80,145 @@ class _SplitInputConv(nn.Module):
         return ya + yb
 
 
+def use_pallas_stage(features: int) -> bool:
+    """Route eligible ConvBlocks (the wide-spatial small-C stages, features
+    <= 64 == the 224^2/112^2 U-Net levels) through the Pallas plane kernels.
+    Default: on for the TPU backend, off elsewhere; CONTRASTYOU_PALLAS_CONV
+    ∈ {0, 1} overrides (=1 on CPU runs the kernels in interpret mode —
+    that's how the default test suite covers them)."""
+    import os
+    raw = os.environ.get("CONTRASTYOU_PALLAS_CONV", "")
+    if raw == "0":
+        return False
+    if raw == "1":
+        return features <= 64
+    import jax
+    return jax.default_backend() == "tpu" and features <= 64
+
+
+class _Kernel(nn.Module):
+    """Bare conv-kernel param holder — tree-identical to ``nn.Conv`` with
+    ``use_bias=False`` (scope ``name`` -> param "kernel")."""
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+class _BNState(nn.Module):
+    """Bare BatchNorm state holder — tree-identical to ``nn.BatchNorm``
+    (params scale/bias, batch_stats mean/var)."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, mean, var
+
+
 class ConvBlock(nn.Module):
     """Two 3x3 conv + norm + ReLU (ref: unet.py:16-31 ``_ConvBlock``).
 
     When ``skip`` is given, the block behaves exactly as if called on
-    ``concatenate([skip, x], -1)`` (the U-Net decoder pattern) but routes the
-    first conv through :class:`_SplitInputConv` so the concat is never
-    materialized. The param tree is identical either way."""
+    ``concatenate([skip, x], -1)`` (the U-Net decoder pattern) but the first
+    conv is computed as two convs on slices of one shared kernel, so the
+    concat is never materialized. The param tree is identical either way.
+
+    In batchnorm mode the block is written in explicit functional form (bare
+    param/state holders + lax ops) so the same params drive two compute
+    paths: the XLA path (flax-BatchNorm-equivalent numerics) and, for the
+    eligible wide-spatial stages on TPU, the fused Pallas plane-kernel stage
+    (ops/pallas/convblock.py) — ~2.2x faster measured on-chip."""
     features: int
     momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
     norm: str = "batchnorm"
     dtype: jnp.dtype = jnp.bfloat16
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, skip=None, *, train: bool = True):
+        if self.norm != "batchnorm":
+            return self._groupnorm_path(x, skip, train)
+        cin = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
+        k0 = _Kernel((3, 3, cin, self.features), name="conv0")()
+        s0, b0, m0, v0 = _BNState(self.features, name="bn0")()
+        k1 = _Kernel((3, 3, self.features, self.features), name="conv1")()
+        s1, b1, m1, v1 = _BNState(self.features, name="bn1")()
+
+        if train and use_pallas_stage(self.features):
+            from ..ops.pallas.convblock import convblock_stage
+            out, (mu0, va0, mu1, va1) = convblock_stage(
+                x, skip, k0.astype(self.dtype), k1.astype(self.dtype),
+                (s0, b0), (s1, b1), eps=self.eps, dtype=self.dtype)
+            self._update_running(m0, v0, mu0, va0)
+            self._update_running(m1, v1, mu1, va1)
+            return out
+
+        # XLA path (flax-equivalent numerics)
+        def conv(h, k, hskip=None):
+            dn = ("NHWC", "HWIO", "NHWC")
+            k = k.astype(self.dtype)
+            y = jax.lax.conv_general_dilated(
+                h.astype(self.dtype), k[:, :, hskip.shape[-1]:]
+                if hskip is not None else k, (1, 1), "SAME",
+                dimension_numbers=dn)
+            if hskip is not None:
+                y = y + jax.lax.conv_general_dilated(
+                    hskip.astype(self.dtype), k[:, :, :hskip.shape[-1]],
+                    (1, 1), "SAME", dimension_numbers=dn)
+            return y
+
+        p0 = conv(x, k0, skip)
+        h0 = self._bn_relu(p0, s0, b0, m0, v0, train)
+        p1 = conv(h0, k1)
+        return self._bn_relu(p1, s1, b1, m1, v1, train)
+
+    def _bn_relu(self, p, scale, bias, ra_mean, ra_var, train):
+        if train:
+            pf = p.astype(jnp.float32)
+            mean = pf.mean((0, 1, 2))
+            var = jnp.maximum((pf * pf).mean((0, 1, 2)) - mean * mean, 0.0)
+            self._update_running(ra_mean, ra_var, mean, var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        a = scale * jax.lax.rsqrt(var + self.eps)
+        b = bias - a * mean
+        y = p * a.astype(p.dtype) + b.astype(p.dtype)
+        return nn.relu(y)
+
+    def _update_running(self, ra_mean, ra_var, mean, var):
+        if self.is_initializing():
+            return
+        m = self.momentum      # torch convention
+        ra_mean.value = ((1.0 - m) * ra_mean.value
+                         + m * jax.lax.stop_gradient(mean))
+        ra_var.value = ((1.0 - m) * ra_var.value
+                        + m * jax.lax.stop_gradient(var))
+
+    def _groupnorm_path(self, x, skip, train):
         if skip is not None:
             x = _SplitInputConv(self.features, dtype=self.dtype,
                                 name="conv0")(skip, x)
         else:
             x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
                         dtype=self.dtype, name="conv0")(x)
-        x = self._norm(x, train, 0)
+        x = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype,
+                         name="gn0")(x)
         x = nn.relu(x)
         x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        x = self._norm(x, train, 1)
-        x = nn.relu(x)
-        return x
-
-    def _norm(self, x, train: bool, i: int):
-        if self.norm == "batchnorm":
-            cls = MXUBatchNorm if use_mxu_bn(self.features) else nn.BatchNorm
-            return cls(use_running_average=not train,
-                       momentum=1.0 - self.momentum, dtype=self.dtype,
-                       name=f"bn{i}")(x)
-        return nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype,
-                            name=f"gn{i}")(x)
+        x = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype,
+                         name="gn1")(x)
+        return nn.relu(x)
 
 
 class _UpsampledConv(nn.Module):

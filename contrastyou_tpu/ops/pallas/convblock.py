@@ -1,0 +1,313 @@
+"""Fused conv3x3 + BatchNorm + ReLU "plane" kernels for the wide-spatial
+small-channel U-Net layers (C in {1..64} at 224^2 / 112^2).
+
+Why (round-2 profile, BENCH_NOTES.md): XLA on this backend runs those layers
+at ~18 TFLOP/s, with the non-matmul half of the step dominated by layout
+copies and convert_reduce BN fusions — the MXU output-lane dim is C_out
+(32 of 128 lanes) and activations get a (batch x channel) tiling that pads
+10->16 and 32->128 (6.4x bytes/pass). This kernel family flips the
+formulation:
+
+- activations are zero-BORDERED "planes" ``[B, C, Lbuf]``: channels in
+  SUBLANES (C=32 -> 4 exact sublane tiles), flattened (H+2)x(W+2) spatial in
+  LANES (full 128-lane tiles). SAME-padding is the plane border itself.
+- a conv tap (dy,dx) is a LANE-OFFSET slice of the plane (offset
+  (dy-1)*(W+2)+(dx-1)), so the 3x3 im2col is 9 sublane-offset writes into a
+  VMEM ``patches [9*C_in, MB]`` scratch and the conv is ONE
+  ``W2 [C_out, 9*C_in] @ patches`` matmul: K = 9*C_in, lanes = MB — ~70% MXU
+  at C_in=32 vs ~6% for the (M=pixels, K=9*C_in, N=C_out) shape XLA uses.
+- the previous layer's BN-apply + ReLU fuses into the tap loads (one VPU FMA
+  per block, borders re-zeroed so implicit SAME padding stays exact), and BN
+  batch statistics ride along as per-(batch, block) partial sums (zero
+  borders contribute nothing; the divisor is the true pixel count), summed
+  by XLA outside (tiny [B, nblocks, C, 2] tensor).
+
+Reference semantics: arch/unet.py:16-31 _ConvBlock (conv-bn-act x2).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MB = 2048                 # output lanes per grid step (16 x 128)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def plane_geometry(H: int, W: int) -> Tuple[int, int]:
+    """(P, Lbuf): real plane length and guarded lane-padded buffer length."""
+    P = (H + 2) * (W + 2)
+    ppad = ((P + MB - 1) // MB) * MB
+    return P, MB + ppad + MB          # one guard block each side
+
+
+def tap_offsets(W: int) -> Tuple[int, ...]:
+    return tuple((dy - 1) * (W + 2) + (dx - 1)
+                 for dy in range(3) for dx in range(3))
+
+
+def to_planes(x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """NHWC [B,H,W,C] -> guarded plane layout [B, C, Lbuf], zero borders."""
+    B, H, W, C = x.shape
+    P, Lbuf = plane_geometry(H, W)
+    xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xp = xp.transpose(0, 3, 1, 2).reshape(B, C, P)
+    return jnp.pad(xp, ((0, 0), (0, 0), (MB, Lbuf - P - MB)))
+
+
+def from_planes(xp: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """guarded planes [B, C, Lbuf] -> NHWC [B,H,W,C] (drop borders/guards)."""
+    B, C, _ = xp.shape
+    P = (H + 2) * (W + 2)
+    core = xp[:, :, MB:MB + P].reshape(B, C, H + 2, W + 2)
+    return core[:, :, 1:-1, 1:-1].transpose(0, 2, 3, 1)
+
+
+def border_mask(H: int, W: int) -> jnp.ndarray:
+    """[1, Lbuf] f32: 1 on interior pixels, 0 on borders/guards/padding."""
+    P, Lbuf = plane_geometry(H, W)
+    idx = np.arange(Lbuf) - MB
+    row, col = idx // (W + 2), idx % (W + 2)
+    ok = ((idx >= 0) & (idx < P) & (row >= 1) & (row <= H)
+          & (col >= 1) & (col <= W))
+    return jnp.asarray(ok, jnp.float32)[None, :]
+
+
+def fold_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """[3,3,Cin,Cout] HWIO -> [Cout, 9*Cin] tap-major (dy,dx,ci) fold."""
+    k = kernel.transpose(3, 0, 1, 2)              # [Cout, 3, 3, Cin]
+    return k.reshape(k.shape[0], -1)
+
+
+def fold_kernel_transposed(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Fold for the TRANSPOSED conv (dx pass of backward): correlate the
+    cotangent with the spatially flipped kernel, swapping in/out channels."""
+    k = kernel[::-1, ::-1].transpose(2, 0, 1, 3)  # [Cin, 3, 3, Cout]
+    return k.reshape(k.shape[0], -1)
+
+
+PAD = 256                 # aligned-load halo; must cover max tap offset W+3
+
+
+def _conv_plane_kernel(x_ref, w2_ref, a_ref, b_ref, mask_ref,
+                       out_ref, part_ref, patches,
+                       *, offsets, cin: int, crep: int, apply_bn: bool):
+    """grid (B, nj). One step: ONE aligned wide load + static lane-rolls per
+    tap (Mosaic requires 128-aligned vector loads), fused bn-apply/relu,
+    patches scratch, one matmul -> preactivation block + stat partials.
+
+    ``crep``: sublane replication factor for tiny C_in (patches rows must be
+    written at 8-aligned sublane offsets, so C_in < 8 is replicated to
+    ``crep*cin`` rows and w2 carries weight/crep in each replica slot)."""
+    j = pl.program_id(1)
+    wide_lo = MB + j * MB - PAD
+    width = MB + 2 * PAD
+    # Mosaic's lane rotate is 32-bit only -> convert the wide vector ONCE,
+    # roll in f32, cast per-tap patches back to the storage dtype.
+    xw = x_ref[0, :, pl.ds(wide_lo, width)].astype(jnp.float32)
+    mw = mask_ref[:, pl.ds(wide_lo, width)]                  # [1,  MB+2PAD]
+    rows = cin * crep
+    dtype = out_ref.dtype
+    for t, off in enumerate(offsets):
+        rel = (-(PAD + off)) % width                         # static shift
+        blk = pltpu.roll(xw, rel, 1)[:, :MB]                 # [Cin, MB] f32
+        if apply_bn:
+            m = pltpu.roll(mw, rel, 1)[:, :MB]               # [1, MB]
+            h = blk * a_ref[:] + b_ref[:]
+            h = jnp.maximum(h, 0.0)
+            blk = jnp.where(m > 0, h, 0.0)
+        blk = blk.astype(dtype)
+        if crep > 1:
+            blk = pltpu.repeat(blk, crep, 0)                 # [rows, MB]
+        patches[pl.ds(t * rows, rows), :] = blk
+    acc = jax.lax.dot_general(
+        w2_ref[:], patches[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [Cout, MB]
+    out = acc.astype(out_ref.dtype)
+    out_ref[0, :, :] = out
+    m_out = pltpu.roll(mw, (-PAD) % width, 1)[0, :MB]        # [MB]
+    v = jnp.where(m_out > 0, out.astype(jnp.float32), 0.0)
+    part_ref[0, 0, 0, :] = jnp.sum(v, axis=1)
+    part_ref[0, 0, 1, :] = jnp.sum(v * v, axis=1)
+
+
+def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
+                   H: int, W: int, *, apply_bn: bool = False,
+                   a: Optional[jnp.ndarray] = None,
+                   b: Optional[jnp.ndarray] = None):
+    """One 3x3 conv over guarded planes.
+
+    xp [B, Cin, Lbuf]; w2 [Cout, 9*Cin] (fold_kernel / fold_kernel_transposed
+    output); mask [1, Lbuf] f32. When ``apply_bn``, ``relu(a*x + b)`` (the
+    previous layer's folded BN) is applied to every tap load, masked back to
+    zero on borders/guards.
+
+    Returns (out_planes [B, Cout, Lbuf], partials [B, nj, Cout, 2] f32)
+    where partials sum (over B, nj) to the masked sum / sum-of-squares of
+    the stored-precision preactivation. Guard blocks of ``out`` are never
+    written — downstream consumers must mask (they do: every tap load and
+    the final apply are masked)."""
+    B, cin, Lbuf = xp.shape
+    cout = w2.shape[0]
+    nj = Lbuf // MB - 2
+    crep = 1 if cin >= 8 else 8 // cin      # 8-aligned patch-row writes
+    if a is None:
+        a = jnp.ones((cin,), jnp.float32)
+        b = jnp.zeros((cin,), jnp.float32)
+    if crep > 1:
+        w3 = w2.reshape(cout, 9, cin)
+        w2 = jnp.broadcast_to(w3[:, :, None, :] / crep,
+                              (cout, 9, crep, cin)).reshape(cout, -1)
+    kern = partial(_conv_plane_kernel, offsets=tap_offsets(W), cin=cin,
+                   crep=crep, apply_bn=apply_bn)
+    out, part = pl.pallas_call(
+        kern,
+        grid=(B, nj),
+        in_specs=[
+            pl.BlockSpec((1, cin, Lbuf), lambda bi, ji: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cout, 9 * cin * crep), lambda bi, ji: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, 1), lambda bi, ji: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, 1), lambda bi, ji: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lbuf), lambda bi, ji: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cout, MB), lambda bi, ji: (bi, 0, ji + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2, cout), lambda bi, ji: (bi, ji, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, cout, Lbuf), xp.dtype),
+            jax.ShapeDtypeStruct((B, nj, 2, cout), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((9 * cin * crep, MB), xp.dtype)],
+        interpret=_interpret(),
+    )(xp, w2.astype(xp.dtype), a.reshape(cin, 1).astype(jnp.float32),
+      b.reshape(cin, 1).astype(jnp.float32), mask)
+    return out, part
+
+
+def bn_affine(stats_sum: jnp.ndarray, stats_sqsum: jnp.ndarray, count: float,
+              scale: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-5):
+    """Fold batch stats + BN params into the (a, b) of y = a*x + b.
+    Returns (a, b, mean, var) — mean/var feed the running-stat update."""
+    mean = stats_sum / count
+    var = jnp.maximum(stats_sqsum / count - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    aa = scale * inv
+    bb = bias - scale * inv * mean
+    return aa, bb, mean, var
+
+
+def apply_bn_relu_planes(xp: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
+                         mask: jnp.ndarray) -> jnp.ndarray:
+    """Final-layer BN+ReLU on planes in plain XLA (the plane layout tiles
+    cleanly, so XLA elementwise is already efficient here)."""
+    h = xp.astype(jnp.float32) * a[None, :, None] + b[None, :, None]
+    h = jnp.maximum(h, 0.0)
+    return jnp.where(mask[None] > 0, h, 0.0).astype(xp.dtype)
+
+
+# --- differentiable pure plane conv (custom VJP) ------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def plane_conv(xp: jnp.ndarray, kernel: jnp.ndarray, mask: jnp.ndarray,
+               H: int, W: int) -> jnp.ndarray:
+    """3x3 SAME conv on guarded planes; ``kernel`` is HWIO [3,3,Cin,Cout].
+    Pure conv — BN/ReLU/stat glue lives in XLA where autodiff handles it.
+    The kernel never writes guard blocks, so the raw output (and the raw
+    dx of the backward) is masked here — downstream consumers and their
+    VJPs then only ever see defined values."""
+    out, _ = conv_plane_geo(xp, fold_kernel(kernel), mask, H, W)
+    return jnp.where(mask[None] > 0, out, 0).astype(xp.dtype)
+
+
+def _plane_conv_fwd(xp, kernel, mask, H, W):
+    return plane_conv(xp, kernel, mask, H, W), (xp, kernel, mask)
+
+
+def _plane_conv_bwd(H, W, res, g):
+    xp, kernel, mask = res
+    # dx: transposed conv = plane conv of the cotangent with the spatially
+    # flipped, channel-swapped kernel (same Pallas kernel).
+    g = jnp.where(mask[None] > 0, g, 0).astype(xp.dtype)
+    dxp, _ = conv_plane_geo(g, fold_kernel_transposed(kernel), mask, H, W)
+    dxp = jnp.where(mask[None] > 0, dxp, 0).astype(xp.dtype)
+    # dw: per-tap sliced einsum on planes (XLA fuses the lane slices into
+    # the dots; no materialized shifts). out[o,m] = sum_t,i k[t,i,o] *
+    # xp[i, m+off_t]  =>  dk[t,i,o] = sum_b,m xp[b,i,m+off_t] * g[b,o,m].
+    P, _ = plane_geometry(H, W)
+    gs = g[:, :, MB:MB + P].astype(jnp.float32)
+    dks = []
+    for off in tap_offsets(W):
+        xs = jax.lax.dynamic_slice_in_dim(xp, MB + off, P, 2)
+        dks.append(jnp.einsum("bim,bom->io", xs.astype(jnp.float32), gs,
+                              preferred_element_type=jnp.float32))
+    dk = jnp.stack(dks, 0).reshape(3, 3, *dks[0].shape)
+    return dxp, dk.astype(kernel.dtype), None
+
+
+plane_conv.defvjp(_plane_conv_fwd, _plane_conv_bwd)
+
+
+def masked_stats(p: jnp.ndarray, mask: jnp.ndarray, count: float):
+    """Masked per-channel (sum, sumsq) of planes -> mean, biased var.
+    Differentiable XLA glue; the plane layout reduces efficiently."""
+    v = jnp.where(mask[None] > 0, p.astype(jnp.float32), 0.0)
+    s = v.sum((0, 2))
+    sq = (v * v).sum((0, 2))
+    mean = s / count
+    var = jnp.maximum(sq / count - mean * mean, 0.0)
+    return mean, var
+
+
+def convblock_stage(x: jnp.ndarray, skip: Optional[jnp.ndarray],
+                    k0: jnp.ndarray, k1: jnp.ndarray,
+                    affine0: Tuple[jnp.ndarray, jnp.ndarray],
+                    affine1: Tuple[jnp.ndarray, jnp.ndarray],
+                    *, eps: float = 1e-5, dtype=jnp.bfloat16):
+    """Full ConvBlock (conv0[+skip split] -> BN -> ReLU -> conv1 -> BN ->
+    ReLU) on planes, batch-statistics mode. Fully differentiable: the convs
+    are Pallas (custom VJP), the BN/ReLU/stat glue is XLA on plane layouts.
+
+    Returns (out NHWC in ``dtype``, (mean0, var0, mean1, var1) f32) — the
+    batch stats feed the caller's running-average update.
+
+    ``skip`` reproduces ConvBlock(skip=...): conv0 acts on
+    ``concat([skip, x], -1)`` via two plane convs on slices of ``k0``."""
+    B, H, W, _ = x.shape
+    mask = border_mask(H, W)
+    count = float(B * H * W)
+    xp = to_planes(x, dtype)
+    if skip is not None:
+        cs = skip.shape[-1]
+        sp = to_planes(skip, dtype)
+        p0 = (plane_conv(sp, k0[:, :, :cs], mask, H, W)
+              + plane_conv(xp, k0[:, :, cs:], mask, H, W)).astype(dtype)
+    else:
+        p0 = plane_conv(xp, k0, mask, H, W)
+    mean0, var0 = masked_stats(p0, mask, count)
+    scale0, bias0 = affine0
+    a0 = scale0 * jax.lax.rsqrt(var0 + eps)
+    b0 = bias0 - a0 * mean0
+    h0 = apply_bn_relu_planes(p0, a0, b0, mask)
+    p1 = plane_conv(h0, k1, mask, H, W)
+    mean1, var1 = masked_stats(p1, mask, count)
+    scale1, bias1 = affine1
+    a1 = scale1 * jax.lax.rsqrt(var1 + eps)
+    b1 = bias1 - a1 * mean1
+    h1 = apply_bn_relu_planes(p1, a1, b1, mask)
+    return from_planes(h1, H, W), (mean0, var0, mean1, var1)

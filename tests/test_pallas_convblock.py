@@ -1,0 +1,88 @@
+"""Pallas plane-conv stage (ops/pallas/convblock.py) == XLA ConvBlock path:
+forward, gradients, batch-stat updates. Runs in interpret mode on CPU (the
+same kernels compile for TPU; scripts_perf_convblock.py is the on-chip A/B).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from contrastyou_tpu.models.unet import ConvBlock
+from contrastyou_tpu.ops.pallas import convblock as cb
+
+
+def _mkblock():
+    return ConvBlock(features=16, momentum=0.1, dtype=jnp.float32)
+
+
+def _init(block, x, skip=None):
+    kw = {} if skip is None else {"skip": skip}
+    return block.init(jax.random.PRNGKey(0), x, train=True, **kw)
+
+
+@pytest.mark.parametrize("with_skip", [False, True])
+def test_stage_matches_xla_path(monkeypatch, with_skip):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 20, 24, 8)), jnp.float32)
+    skip = (jnp.asarray(rng.standard_normal((2, 20, 24, 4)), jnp.float32)
+            if with_skip else None)
+    block = _mkblock()
+    v = _init(block, x, skip)
+    kw = {} if skip is None else {"skip": skip}
+
+    monkeypatch.setenv("CONTRASTYOU_PALLAS_CONV", "0")
+    y_ref, mut_ref = block.apply(v, x, train=True, mutable=["batch_stats"],
+                                 **kw)
+    monkeypatch.setenv("CONTRASTYOU_PALLAS_CONV", "1")
+    y_pal, mut_pal = block.apply(v, x, train=True, mutable=["batch_stats"],
+                                 **kw)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(mut_pal), jax.tree.leaves(mut_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_stage_grads_match_xla_path(monkeypatch):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 12, 14, 8)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((2, 12, 14, 16)), jnp.float32)
+    block = _mkblock()
+    v = _init(block, x)
+
+    def loss(params, xx):
+        y, _ = block.apply({"params": params,
+                            "batch_stats": v["batch_stats"]}, xx,
+                           train=True, mutable=["batch_stats"])
+        return jnp.mean((y - tgt) ** 2)
+
+    monkeypatch.setenv("CONTRASTYOU_PALLAS_CONV", "0")
+    g_ref = jax.grad(loss, (0, 1))(v["params"], x)
+    monkeypatch.setenv("CONTRASTYOU_PALLAS_CONV", "1")
+    g_pal = jax.grad(loss, (0, 1))(v["params"], x)
+    for a, b in zip(jax.tree.leaves(g_pal), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_eval_path_ignores_gate(monkeypatch):
+    # eval always uses the XLA running-stat path regardless of the gate
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 10, 10, 8)), jnp.float32)
+    block = _mkblock()
+    v = _init(block, x)
+    monkeypatch.setenv("CONTRASTYOU_PALLAS_CONV", "1")
+    y1 = block.apply(v, x, train=False)
+    monkeypatch.setenv("CONTRASTYOU_PALLAS_CONV", "0")
+    y0 = block.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=0, atol=0)
+
+
+def test_plane_roundtrip_and_mask():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((3, 9, 13, 5)), jnp.float32)
+    xp = cb.to_planes(x, jnp.float32)
+    np.testing.assert_allclose(np.asarray(cb.from_planes(xp, 9, 13)),
+                               np.asarray(x))
+    m = cb.border_mask(9, 13)
+    assert float(m.sum()) == 9 * 13
