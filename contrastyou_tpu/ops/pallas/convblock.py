@@ -35,7 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MB = 2048                 # output lanes per grid step (16 x 128)
+MB = 4096                 # output lanes per grid step (16 x 128)
 
 
 def _interpret() -> bool:
