@@ -71,16 +71,26 @@ def _build(model_dtype=jnp.bfloat16):
     return bundle, hooks, optimizer, state
 
 
+def _sync(state) -> float:
+    """Force REAL completion: a device reduction over the updated params plus
+    a host CONTENT read. This backend's block_until_ready can return before
+    device execution of some dispatch chains finishes (BENCH_NOTES timing
+    trap; the hostfed path once 'measured' 5x above the device-only bound) —
+    but a value read cannot lie."""
+    leaf = jax.tree.leaves(state.params)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def _timed(fn, n_calls: int, state):
     for _ in range(WARMUP_CALLS):
         state = fn(state)
-    jax.block_until_ready(jax.tree.leaves(state.params)[0])
+    _sync(state)
     t0 = time.perf_counter()
     for _ in range(n_calls):
         state = fn(state)
-    # block on the UPDATED PARAMS of the final call: via the state dependency
-    # chain this forces every step's full forward+backward+update to complete
-    jax.block_until_ready(jax.tree.leaves(state.params)[0])
+    # content-read the UPDATED PARAMS of the final call: via the state
+    # dependency chain this forces every step to have really executed
+    _sync(state)
     dt = time.perf_counter() - t0
     return n_calls * UNROLL * (BATCH_LABELED + BATCH_UNLABELED) / dt
 
