@@ -368,10 +368,14 @@ class Trainer:
                     ingest(metrics, scan_names, K)
                     if it == 0:
                         log_figures(metrics)
-                indicator.set_postfix_statics(
-                    {"tra": {"sup": meters["sup_loss"].summary(),
-                             "reg": meters["reg_loss"].summary()}},
-                    force_update=it == num_calls - 1)
+                # computing .summary() drains device-pending scalars (a host
+                # round-trip through the compile tunnel) — only do it when
+                # the bar actually refreshes
+                if it % 10 == 9 or it == num_calls - 1:
+                    indicator.set_postfix_statics(
+                        {"tra": {"sup": meters["sup_loss"].summary(),
+                                 "reg": meters["reg_loss"].summary()}},
+                        force_update=it == num_calls - 1)
         stats = dict(meters.statistics())
         lr = float(self._schedule(int(self._state.step)))
         stats.setdefault("tra", {})["lr"] = lr
