@@ -80,20 +80,26 @@ class _SplitInputConv(nn.Module):
         return ya + yb
 
 
-def use_pallas_stage(features: int) -> bool:
+def use_pallas_stage(features: int, dtype=jnp.bfloat16,
+                     spatial: Tuple[int, int] = (0, 0)) -> bool:
     """Route eligible ConvBlocks (the wide-spatial small-C stages, features
     <= 64 == the 224^2/112^2 U-Net levels) through the Pallas plane kernels.
     Default: on for the TPU backend, off elsewhere; CONTRASTYOU_PALLAS_CONV
     ∈ {0, 1} overrides (=1 on CPU runs the kernels in interpret mode —
-    that's how the default test suite covers them)."""
+    that's how the default test suite covers them). f32 planes at 224^2
+    overflow the ~16MB VMEM budget, so non-bf16 dtypes are gated to small
+    spatial sizes."""
     import os
+    H, W = spatial
+    fits = dtype == jnp.bfloat16 or (H + 2) * (W + 2) <= 20000
+    eligible = features <= 64 and fits
     raw = os.environ.get("CONTRASTYOU_PALLAS_CONV", "")
     if raw == "0":
         return False
     if raw == "1":
-        return features <= 64
+        return eligible
     import jax
-    return jax.default_backend() == "tpu" and features <= 64
+    return jax.default_backend() == "tpu" and eligible
 
 
 class _Kernel(nn.Module):
@@ -154,7 +160,8 @@ class ConvBlock(nn.Module):
         k1 = _Kernel((3, 3, self.features, self.features), name="conv1")()
         s1, b1, m1, v1 = _BNState(self.features, name="bn1")()
 
-        if train and use_pallas_stage(self.features):
+        if train and use_pallas_stage(self.features, self.dtype,
+                                      (x.shape[1], x.shape[2])):
             from ..ops.pallas.convblock import convblock_stage
             out, (mu0, va0, mu1, va1) = convblock_stage(
                 x, skip, k0.astype(self.dtype), k1.astype(self.dtype),
