@@ -50,13 +50,10 @@ class Trainer:
                  unroll_steps: int = 1, device_cache: bool = False, **kwargs):
         del enable_scale  # bf16 on TPU needs no GradScaler (ref amp/amp.py)
         self._mesh = mesh  # jax.sharding.Mesh -> data-parallel batch sharding
-        if mesh is not None:
-            # pallas_call carries no GSPMD sharding rule yet, so the Pallas
-            # conv stage must not engage inside a mesh-sharded step (it
-            # would force operand replication). shard_map wrapping is the
-            # planned lift; until then the mesh path uses the XLA conv path.
-            import os as _os
-            _os.environ.setdefault("CONTRASTYOU_PALLAS_CONV", "0")
+        # (the Pallas conv stage is mesh-safe: plane convs carry a
+        # custom_partitioning rule that shards the batch axis per chip,
+        # ops/pallas/convblock.py _partitioned_conv; verified sharded ==
+        # unsharded by test_parallel with CONTRASTYOU_PALLAS_CONV=1)
         self._unroll = max(int(unroll_steps), 1)
         # device_cache: stage the train split into HBM and sample batches
         # in-graph (data/device_cache.py) — removes the host input pipeline

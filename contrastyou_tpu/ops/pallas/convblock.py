@@ -26,7 +26,7 @@ Reference semantics: arch/unet.py:16-31 _ConvBlock (conv-bn-act x2).
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import jax
@@ -163,7 +163,6 @@ def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
     the final apply are masked)."""
     B, cin, Lbuf = xp.shape
     cout = w2.shape[0]
-    nj = Lbuf // MB - 2
     crep = 1 if cin >= 8 else 8 // cin      # 8-aligned patch-row writes
     if a is None:
         a = jnp.ones((cin,), jnp.float32)
@@ -172,15 +171,27 @@ def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
         w3 = w2.reshape(cout, 9, cin)
         w2 = jnp.broadcast_to(w3[:, :, None, :] / crep,
                               (cout, 9, crep, cin)).reshape(cout, -1)
+    f = _partitioned_conv(W, apply_bn, str(jnp.dtype(xp.dtype)))
+    return f(xp, w2.astype(xp.dtype),
+             a.reshape(cin, 1).astype(jnp.float32),
+             b.reshape(cin, 1).astype(jnp.float32), mask)
+
+
+def _conv_plane_call(xp, w2, a, b, mask, *, W: int, apply_bn: bool):
+    """The raw pallas_call on (possibly per-shard local) operands."""
+    B, cin, Lbuf = xp.shape
+    cout, kcols = w2.shape
+    crep = kcols // (9 * cin)
+    nj = Lbuf // MB - 2
     kern = partial(_conv_plane_kernel, offsets=tap_offsets(W), cin=cin,
                    crep=crep, apply_bn=apply_bn)
-    out, part = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=(B, nj),
         in_specs=[
             pl.BlockSpec((1, cin, Lbuf), lambda bi, ji: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cout, 9 * cin * crep), lambda bi, ji: (0, 0),
+            pl.BlockSpec((cout, kcols), lambda bi, ji: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cin, 1), lambda bi, ji: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -199,11 +210,59 @@ def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
             jax.ShapeDtypeStruct((B, cout, Lbuf), xp.dtype),
             jax.ShapeDtypeStruct((B, nj, 2, cout), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((9 * cin * crep, MB), xp.dtype)],
+        scratch_shapes=[pltpu.VMEM((kcols, MB), xp.dtype)],
         interpret=_interpret(),
-    )(xp, w2.astype(xp.dtype), a.reshape(cin, 1).astype(jnp.float32),
-      b.reshape(cin, 1).astype(jnp.float32), mask)
-    return out, part
+    )(xp, w2, a, b, mask)
+
+
+@lru_cache(maxsize=None)
+def _partitioned_conv(W: int, apply_bn: bool, _dtype_key: str):
+    """GSPMD-partitionable wrapper: the kernel is independent per batch
+    element, so under a data mesh each shard runs the pallas_call on its
+    LOCAL batch (w2/a/b/mask replicated); the BN stat partials stay
+    batch-sharded and the caller's XLA sum over the batch axis becomes the
+    global (SyncBN) reduction. Without a mesh this is the plain call."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def _raw(xp, w2, a, b, mask):
+        return _conv_plane_call(xp, w2, a, b, mask, W=W, apply_bn=apply_bn)
+
+    fn = custom_partitioning(_raw)
+
+    def _batch_axis(arg_shapes):
+        spec = arg_shapes[0].sharding.spec
+        return spec[0] if len(spec) > 0 else None
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        baxis = _batch_axis(arg_shapes)
+        return (NamedSharding(mesh, P(baxis, None, None)),
+                NamedSharding(mesh, P(baxis, None, None, None)))
+
+    def partition(mesh, arg_shapes, result_shape):
+        baxis = _batch_axis(arg_shapes)
+        rep = NamedSharding(mesh, P())
+        arg_sh = (NamedSharding(mesh, P(baxis, None, None)),
+                  rep, rep, rep, rep)
+        out_sh = (NamedSharding(mesh, P(baxis, None, None)),
+                  NamedSharding(mesh, P(baxis, None, None, None)))
+
+        def lower_fn(xp, w2, a, b, mask):
+            return _conv_plane_call(xp, w2, a, b, mask, W=W,
+                                    apply_bn=apply_bn)
+
+        return mesh, lower_fn, out_sh, arg_sh
+
+    # Shardy propagation rule: only the batch factor ``bb`` passes through;
+    # every other dimension is pinned replicated (the kernel owns lanes/
+    # sublanes wholesale). The legacy callbacks cover the GSPMD partitioner.
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding,
+        sharding_rule="bb c l, o k, c2 u, c3 v, w l2 -> bb c4 l3, bb j t o2",
+        need_replication_factors=("c", "l", "o", "k", "c2", "u", "c3", "v",
+                                  "w", "l2", "c4", "l3", "j", "t", "o2"))
+    return fn
 
 
 def bn_affine(stats_sum: jnp.ndarray, stats_sqsum: jnp.ndarray, count: float,

@@ -86,3 +86,34 @@ def test_plane_roundtrip_and_mask():
                                np.asarray(x))
     m = cb.border_mask(9, 13)
     assert float(m.sum()) == 9 * 13
+
+
+def test_stage_under_mesh_matches_unsharded(monkeypatch):
+    """The plane convs carry a custom_partitioning batch rule — a ConvBlock
+    forward over a sharded batch must equal the unsharded one (the BN stat
+    sums become the global cross-shard reduction)."""
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from contrastyou_tpu.parallel import make_mesh
+
+    monkeypatch.setenv("CONTRASTYOU_PALLAS_CONV", "1")
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((8, 12, 14, 8)), jnp.float32)
+    block = _mkblock()
+    v = _init(block, x)
+    y_ref, mut_ref = block.apply(v, x, train=True, mutable=["batch_stats"])
+
+    mesh = make_mesh(8)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None, None)))
+    vs = jax.tree.map(
+        lambda t: jax.device_put(t, NamedSharding(mesh, P())), v)
+    y_sh, mut_sh = jax.jit(
+        lambda vv, xx: block.apply(vv, xx, train=True,
+                                   mutable=["batch_stats"]))(vs, xs)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+    for a2, b2 in zip(jax.tree.leaves(mut_sh), jax.tree.leaves(mut_ref)):
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(b2),
+                                   rtol=2e-4, atol=2e-4)
