@@ -120,3 +120,28 @@ def test_fused_supcon_under_data_mesh():
     assert got == pytest.approx(want, rel=1e-5)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
                                atol=1e-5)
+
+
+@tpu_only
+def test_plane_conv_on_chip_matches_xla():
+    """Compiled (Mosaic) plane conv == XLA conv at the hot UNet shape, to
+    bf16 output rounding (the interpret-mode equivalence lives in
+    test_pallas_convblock.py; this catches Mosaic-vs-interpret divergence,
+    e.g. roll semantics)."""
+    from contrastyou_tpu.ops.pallas import convblock as cb
+    B, H, W, C = 3, 224, 224, 32
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.1, jnp.bfloat16)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    out, part = cb.conv_plane_geo(cb.to_planes(x), cb.fold_kernel(k),
+                                  cb.border_mask(H, W), H, W)
+    got = cb.from_planes(out, H, W).astype(jnp.float32)
+    denom = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(got - ref))) / denom < 5e-3
+    # stat partials sum to the masked totals of the bf16 output
+    s = np.asarray(part.sum((0, 1)))
+    v = np.asarray(got.reshape(-1, C), np.float64)
+    np.testing.assert_allclose(s[0], v.sum(0), rtol=1e-3)
