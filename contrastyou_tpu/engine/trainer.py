@@ -292,7 +292,14 @@ class Trainer:
             inter = metrics["dice_inter"].reshape(-1,
                                                   metrics["dice_inter"].shape[-1])
             union = metrics["dice_union"].reshape(-1, inter.shape[-1])
-            meters["sup_dice"].add_counts(inter, union, group_name=scan_names)
+            if isinstance(scan_names, tuple):       # (device ids, name table)
+                ids, table = scan_names
+                meters["sup_dice"].add_counts(inter, union,
+                                              group_ids=ids.reshape(-1),
+                                              id_table=table)
+            else:
+                meters["sup_dice"].add_counts(inter, union,
+                                              group_name=scan_names)
             for hook in self._active_hooks:
                 hm = {k.split("/", 1)[1]: jnp.mean(v)
                       for k, v in metrics.items()
@@ -320,15 +327,15 @@ class Trainer:
         with meters:
             for it in indicator:
                 if self._device_cache:
-                    # fully device-resident: the step samples its own batches
+                    # fully device-resident: the step samples its own batches;
+                    # scan ids stay ON DEVICE (resolved against the cache's
+                    # name table at meter join — one sync per epoch, not one
+                    # ~25ms tunnel round-trip per step)
                     step_rng = jax.random.fold_in(rng, it)
                     self._state, metrics = self._train_step(
                         self._state, step_rng, epoch_arr)
-                    ids = np.asarray(metrics.pop("labeled_scan_id")
-                                     ).reshape(-1)
-                    scan_names = [self._labeled_cache.scan_names[i]
-                                  for i in ids]
-                    ingest(metrics, scan_names, K)
+                    ids = metrics.pop("labeled_scan_id")
+                    ingest(metrics, (ids, self._labeled_cache.scan_names), K)
                     if it == 0:
                         log_figures(metrics)
                 elif K == 1:

@@ -84,18 +84,30 @@ class UniversalDice(Metric[t.Dict[str, float]]):
         self._n += 1
 
     def add_counts(self, inter, union, *,
-                   group_name: t.Sequence[t.Optional[str]]) -> None:
+                   group_name: t.Sequence[t.Optional[str]] | None = None,
+                   group_ids=None,
+                   id_table: t.Sequence[str] | None = None) -> None:
         """Ingest precomputed per-sample [B, C] intersection/union counts (the
         jitted train/eval step returns these so no pixel maps cross to host).
-        Entries whose group name is None are ignored (padded slots)."""
-        names = list(group_name)
-        assert jnp.asarray(inter).shape[0] == len(names)
+        Entries whose group name is None are ignored (padded slots).
+
+        Pass either host ``group_name`` strings OR a DEVICE ``group_ids``
+        int vector + a host ``id_table`` — the ids are only pulled to host at
+        ``join()`` (one sync per epoch instead of one per step)."""
+        if group_ids is not None:
+            names = (group_ids, list(id_table))
+        else:
+            names = list(group_name)
+            assert jnp.asarray(inter).shape[0] == len(names)
         self._pending.append((jnp.asarray(inter), jnp.asarray(union), names))
         self._n += 1
 
     def join(self) -> None:
         """Drain device-pending counts into the host per-scan accumulators."""
         for inter, union, names in self._pending:
+            if isinstance(names, tuple):
+                ids, table = names
+                names = [table[i] for i in np.asarray(ids).reshape(-1)]
             inter_h, union_h = np.asarray(inter), np.asarray(union)
             for i, name in enumerate(names):
                 if name is None:
