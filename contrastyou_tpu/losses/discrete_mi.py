@@ -36,17 +36,23 @@ def compute_joint_2d(x_out: jnp.ndarray, x_tf_out: jnp.ndarray, *,
     """Spatial joint with displacement window: [B, H, W, K] inputs ->
     [T, T, K, K], T = 2*padding+1 (ref: discreteMI.py:225-243).
 
-    Implemented as a conv where one simplex is the input (batch=K, chan=B) and
-    the other the kernel (out=K, in=B, kernel=HxW)."""
-    lhs = jnp.transpose(x_out, (3, 0, 1, 2))     # K, B, H, W
-    rhs = jnp.transpose(x_tf_out, (3, 0, 1, 2))  # K, B, H, W
+    One [K, N] x [N, K] MXU contraction per displacement over a shifted
+    zero-padded view (XLA fuses the slices). The mathematically equivalent
+    image-sized-kernel conv formulation ran ~40x slower on the TPU backend
+    (a 224x224-kernel conv is a pathological XLA shape — BENCH_NOTES)."""
     p = int(padding)
-    joint = lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1, 1), padding=[(p, p), (p, p)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32)       # K, K, T, T
+    H, W = x_tf_out.shape[1], x_tf_out.shape[2]
+    xo = jnp.pad(x_out, ((0, 0), (p, p), (p, p), (0, 0)))
+    t = 2 * p + 1
+    joint = jnp.stack([
+        jnp.stack([
+            jnp.einsum("bhwi,bhwj->ij",
+                       lax.slice(xo, (0, ty, tx, 0),
+                                 (xo.shape[0], ty + H, tx + W, xo.shape[3])),
+                       x_tf_out, preferred_element_type=jnp.float32)
+            for tx in range(t)])
+        for ty in range(t)])                      # T, T, K, K
     joint = joint - lax.stop_gradient(joint.min()) + 1e-8
-    joint = jnp.transpose(joint, (2, 3, 0, 1))    # T, T, K, K
     joint = joint / joint.sum(axis=(2, 3), keepdims=True)
     if symmetric:
         joint = (joint + jnp.transpose(joint, (0, 1, 3, 2))) / 2.0
