@@ -120,17 +120,17 @@ def _conv_plane_kernel(x_ref, w2_ref, a_ref, b_ref, mask_ref,
     # roll in f32, cast per-tap patches back to the storage dtype.
     xw = x_ref[0, :, pl.ds(wide_lo, width)].astype(jnp.float32)
     mw = mask_ref[:, pl.ds(wide_lo, width)]                  # [1,  MB+2PAD]
+    if apply_bn:
+        # bn-apply + relu + border-zeroing are POSITION-based, so apply them
+        # once to the wide vector instead of once per rolled tap (9x VPU)
+        h = xw * a_ref[:] + b_ref[:]
+        h = jnp.maximum(h, 0.0)
+        xw = jnp.where(mw > 0, h, 0.0)
     rows = cin * crep
     dtype = out_ref.dtype
     for t, off in enumerate(offsets):
         rel = (-(PAD + off)) % width                         # static shift
-        blk = pltpu.roll(xw, rel, 1)[:, :MB]                 # [Cin, MB] f32
-        if apply_bn:
-            m = pltpu.roll(mw, rel, 1)[:, :MB]               # [1, MB]
-            h = blk * a_ref[:] + b_ref[:]
-            h = jnp.maximum(h, 0.0)
-            blk = jnp.where(m > 0, h, 0.0)
-        blk = blk.astype(dtype)
+        blk = pltpu.roll(xw, rel, 1)[:, :MB].astype(dtype)   # [Cin, MB]
         if crep > 1:
             blk = pltpu.repeat(blk, crep, 0)                 # [rows, MB]
         patches[pl.ds(t * rows, rows), :] = blk
