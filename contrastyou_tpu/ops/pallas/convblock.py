@@ -358,21 +358,63 @@ def convblock_stage(x: jnp.ndarray, skip: Optional[jnp.ndarray],
     count = float(B * H * W)
     xp = to_planes(x, dtype)
     if skip is not None:
+        # conv over concat = sum of two convs; stats of the SUM are not the
+        # sum of per-conv stats (sumsq is nonlinear), so reduce in XLA here
         cs = skip.shape[-1]
         sp = to_planes(skip, dtype)
         p0 = (plane_conv(sp, k0[:, :, :cs], mask, H, W)
               + plane_conv(xp, k0[:, :, cs:], mask, H, W)).astype(dtype)
+        mean0, var0 = masked_stats(p0, mask, count)
     else:
-        p0 = plane_conv(xp, k0, mask, H, W)
-    mean0, var0 = masked_stats(p0, mask, count)
+        p0, s0, sq0 = plane_conv_stats(xp, k0, mask, H, W)
+        mean0 = s0 / count
+        var0 = jnp.maximum(sq0 / count - mean0 * mean0, 0.0)
     scale0, bias0 = affine0
     a0 = scale0 * jax.lax.rsqrt(var0 + eps)
     b0 = bias0 - a0 * mean0
     h0 = apply_bn_relu_planes(p0, a0, b0, mask)
-    p1 = plane_conv(h0, k1, mask, H, W)
-    mean1, var1 = masked_stats(p1, mask, count)
+    p1, s1, sq1 = plane_conv_stats(h0, k1, mask, H, W)
+    mean1 = s1 / count
+    var1 = jnp.maximum(sq1 / count - mean1 * mean1, 0.0)
     scale1, bias1 = affine1
     a1 = scale1 * jax.lax.rsqrt(var1 + eps)
     b1 = bias1 - a1 * mean1
     h1 = apply_bn_relu_planes(p1, a1, b1, mask)
     return from_planes(h1, H, W), (mean0, var0, mean1, var1)
+
+
+# --- conv WITH the kernel's free stat partials (differentiable) ---------
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def plane_conv_stats(xp: jnp.ndarray, kernel: jnp.ndarray, mask: jnp.ndarray,
+                     H: int, W: int):
+    """Like :func:`plane_conv` but also returns the masked per-channel
+    (sum, sum-of-squares) of the output — taken from the kernel's per-block
+    partials, which are computed in-VMEM for free, instead of a separate
+    XLA reduce over the [B, C, Lbuf] planes (one full memory pass saved per
+    statistic per layer)."""
+    out, part = conv_plane_geo(xp, fold_kernel(kernel), mask, H, W)
+    out = jnp.where(mask[None] > 0, out, 0).astype(xp.dtype)
+    s = part.sum((0, 1))                                    # [2, C] f32
+    return out, s[0], s[1]
+
+
+def _pcs_fwd(xp, kernel, mask, H, W):
+    out, ssum, ssq = plane_conv_stats(xp, kernel, mask, H, W)
+    return (out, ssum, ssq), (xp, kernel, mask, out)
+
+
+def _pcs_bwd(H, W, res, cot):
+    xp, kernel, mask, out = res
+    g_out, g_s, g_sq = cot
+    # d(sum)/d(out) = mask ; d(sumsq)/d(out) = 2*out*mask — fold both into
+    # the output cotangent, then reuse the pure-conv backward.
+    g = (g_out.astype(jnp.float32)
+         + mask[None] * (g_s[None, :, None]
+                         + 2.0 * out.astype(jnp.float32)
+                         * g_sq[None, :, None]))
+    dxp, dk, _ = _plane_conv_bwd(H, W, (xp, kernel, mask), g)
+    return dxp, dk, None
+
+
+plane_conv_stats.defvjp(_pcs_fwd, _pcs_bwd)
