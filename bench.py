@@ -50,7 +50,10 @@ RAW_SIZE = 256
 UNROLL = int(os.environ.get("CONTRASTYOU_BENCH_UNROLL", "8"))
 WARMUP_CALLS = 3
 MEASURE_CALLS = max(200 // UNROLL, 20)
-MODE = os.environ.get("CONTRASTYOU_BENCH_MODE", "all")
+# default = the HEADLINE path only: the three-mode sweep compiles three
+# distinct programs through the remote tunnel (~25 min); select it
+# explicitly with CONTRASTYOU_BENCH_MODE=all (aux numbers in BENCH_NOTES.md)
+MODE = os.environ.get("CONTRASTYOU_BENCH_MODE", "cached")
 
 
 def _build(model_dtype=jnp.bfloat16):
