@@ -107,7 +107,11 @@ class UniversalDice(Metric[t.Dict[str, float]]):
         for inter, union, names in self._pending:
             if isinstance(names, tuple):
                 ids, table = names
-                names = [table[i] for i in np.asarray(ids).reshape(-1)]
+                # ids outside [0, len(table)) mark padded slots -> skipped,
+                # mirroring the None-padding semantics of the name path
+                # (python negative indexing would silently alias a scan).
+                names = [table[i] if 0 <= i < len(table) else None
+                         for i in np.asarray(ids).reshape(-1)]
             inter_h, union_h = np.asarray(inter), np.asarray(union)
             for i, name in enumerate(names):
                 if name is None:

@@ -92,7 +92,10 @@ def use_pallas_stage(features: int, dtype=jnp.bfloat16,
     import os
     H, W = spatial
     fits = dtype == jnp.bfloat16 or (H + 2) * (W + 2) <= 20000
-    eligible = features <= 64 and fits
+    # the plane kernel's aligned-load halo covers tap offsets up to W+3
+    # (ops/pallas/convblock.py PAD); wider inputs must use the XLA path
+    halo_ok = W + 3 <= 256
+    eligible = features <= 64 and fits and halo_ok
     raw = os.environ.get("CONTRASTYOU_PALLAS_CONV", "")
     if raw == "0":
         return False

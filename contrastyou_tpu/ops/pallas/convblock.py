@@ -163,6 +163,12 @@ def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
     the final apply are masked)."""
     B, cin, Lbuf = xp.shape
     cout = w2.shape[0]
+    if W + 3 > PAD:
+        # The PAD-lane halo must cover the max tap offset (W+3); beyond that
+        # the rolls would wrap stale halo lanes into the patches silently.
+        raise ValueError(
+            f"plane conv supports W <= {PAD - 3} (got W={W}); "
+            "route this layer through the XLA path instead")
     crep = 1 if cin >= 8 else 8 // cin      # 8-aligned patch-row writes
     if a is None:
         a = jnp.ones((cin,), jnp.float32)

@@ -1,6 +1,6 @@
 """Pallas plane-conv stage (ops/pallas/convblock.py) == XLA ConvBlock path:
 forward, gradients, batch-stat updates. Runs in interpret mode on CPU (the
-same kernels compile for TPU; scripts_perf_convblock.py is the on-chip A/B).
+same kernels compile for TPU; tools/scripts_perf_convblock.py is the on-chip A/B).
 """
 import jax
 import jax.numpy as jnp
