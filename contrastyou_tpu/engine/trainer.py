@@ -145,6 +145,13 @@ class Trainer:
                 if self.train_mode == "semi" and self._unlabeled_loader is not None:
                     unlabeled_cache = DeviceDataCache.from_dataset(
                         self._unlabeled_loader.dataset, crop=crop)
+                if self._mesh is not None:
+                    # mesh-native cache: split tensors committed replicated,
+                    # sampled batches come out sharded over the data axis —
+                    # the cached path composes with multi-chip training
+                    self._labeled_cache.place_on_mesh(self._mesh)
+                    if unlabeled_cache is not None:
+                        unlabeled_cache.place_on_mesh(self._mesh)
                 self._train_step = build_cached_train_step(
                     self._bundle, self._optimizer, self._active_hooks,
                     labeled_cache=self._labeled_cache,
