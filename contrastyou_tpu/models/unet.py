@@ -81,21 +81,32 @@ class _SplitInputConv(nn.Module):
 
 
 def use_pallas_stage(features: int, dtype=jnp.bfloat16,
-                     spatial: Tuple[int, int] = (0, 0)) -> bool:
-    """Route eligible ConvBlocks (the wide-spatial small-C stages, features
-    <= 64 == the 224^2/112^2 U-Net levels) through the Pallas plane kernels.
-    Default: on for the TPU backend, off elsewhere; CONTRASTYOU_PALLAS_CONV
-    ∈ {0, 1} overrides (=1 on CPU runs the kernels in interpret mode —
-    that's how the default test suite covers them). f32 planes at 224^2
-    overflow the ~16MB VMEM budget, so non-bf16 dtypes are gated to small
-    spatial sizes."""
+                     spatial: Tuple[int, int] = (0, 0),
+                     cmax: int | None = None) -> bool:
+    """Route eligible ConvBlocks through the Pallas plane kernels
+    (ops/pallas/convblock.py). Round 3: the per-geometry (MB, PAD) selection
+    makes every U-Net level representable; the wide-spatial small-C stages
+    (features <= 64, the 224^2/112^2 levels) are on by default on TPU, the
+    deep C >= 128 levels additionally behind CONTRASTYOU_PALLAS_DEEP=1
+    (pending the on-chip A/B — small planes carry ~25% border-lane FLOP
+    waste at 14^2 while XLA's lane utilization is already full at C >= 128).
+    CONTRASTYOU_PALLAS_CONV ∈ {0, 1} force-disables/enables (=1 on CPU runs
+    the kernels in interpret mode — that's how the default test suite covers
+    them). f32 planes at 224^2 overflow the ~16MB VMEM budget, so non-bf16
+    dtypes are gated to small spatial sizes."""
     import os
     H, W = spatial
     fits = dtype == jnp.bfloat16 or (H + 2) * (W + 2) <= 20000
-    # the plane kernel's aligned-load halo covers tap offsets up to W+3
-    # (ops/pallas/convblock.py PAD); wider inputs must use the XLA path
-    halo_ok = W + 3 <= 256
-    eligible = features <= 64 and fits and halo_ok
+    from ..ops.pallas.convblock import pick_geometry
+    try:
+        geo = pick_geometry(H, W, max(cmax or features, features),
+                            jnp.dtype(dtype).itemsize)
+    except ValueError:
+        return False
+    halo_ok = W + 3 <= geo.pad
+    deep_ok = (features <= 64
+               or os.environ.get("CONTRASTYOU_PALLAS_DEEP", "") == "1")
+    eligible = fits and halo_ok and deep_ok
     raw = os.environ.get("CONTRASTYOU_PALLAS_CONV", "")
     if raw == "0":
         return False
@@ -164,7 +175,7 @@ class ConvBlock(nn.Module):
         s1, b1, m1, v1 = _BNState(self.features, name="bn1")()
 
         if train and use_pallas_stage(self.features, self.dtype,
-                                      (x.shape[1], x.shape[2])):
+                                      (x.shape[1], x.shape[2]), cmax=cin):
             from ..ops.pallas.convblock import convblock_stage
             out, (mu0, va0, mu1, va1) = convblock_stage(
                 x, skip, k0.astype(self.dtype), k1.astype(self.dtype),

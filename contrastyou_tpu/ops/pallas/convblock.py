@@ -1,16 +1,15 @@
-"""Fused conv3x3 + BatchNorm + ReLU "plane" kernels for the wide-spatial
-small-channel U-Net layers (C in {1..64} at 224^2 / 112^2).
+"""Fused conv3x3 + BatchNorm + ReLU "plane" kernels for the U-Net ConvBlocks.
 
-Why (round-2 profile, BENCH_NOTES.md): XLA on this backend runs those layers
-at ~18 TFLOP/s, with the non-matmul half of the step dominated by layout
-copies and convert_reduce BN fusions — the MXU output-lane dim is C_out
-(32 of 128 lanes) and activations get a (batch x channel) tiling that pads
-10->16 and 32->128 (6.4x bytes/pass). This kernel family flips the
-formulation:
+Why (round-2 profile, BENCH_NOTES.md): XLA on this backend runs the
+wide-spatial small-channel layers at ~18 TFLOP/s, with the non-matmul half of
+the step dominated by layout copies and convert_reduce BN fusions — the MXU
+output-lane dim is C_out (32 of 128 lanes) and activations get a
+(batch x channel) tiling that pads 10->16 and 32->128 (6.4x bytes/pass).
+This kernel family flips the formulation:
 
 - activations are zero-BORDERED "planes" ``[B, C, Lbuf]``: channels in
-  SUBLANES (C=32 -> 4 exact sublane tiles), flattened (H+2)x(W+2) spatial in
-  LANES (full 128-lane tiles). SAME-padding is the plane border itself.
+  SUBLANES, flattened (H+2)x(W+2) spatial in LANES (full 128-lane tiles).
+  SAME-padding is the plane border itself.
 - a conv tap (dy,dx) is a LANE-OFFSET slice of the plane (offset
   (dy-1)*(W+2)+(dx-1)), so the 3x3 im2col is 9 sublane-offset writes into a
   VMEM ``patches [9*C_in, MB]`` scratch and the conv is ONE
@@ -22,12 +21,20 @@ formulation:
   borders contribute nothing; the divisor is the true pixel count), summed
   by XLA outside (tiny [B, nblocks, C, 2] tensor).
 
+Round-3 generalization: the lane-block size MB and the aligned-load halo PAD
+are now PER-GEOMETRY (``pick_geometry``) instead of module constants, so the
+deep C in {128, 256, 512} levels at 56^2/28^2/14^2 fit the ~16 MB VMEM budget
+(patches scratch scales as 9*C_in*MB) and small planes stop paying for
+4096-lane blocks. The legacy wide-layer geometry (MB=4096, PAD=256) is what
+``pick_geometry`` returns for C<=64 at 224^2/112^2 — those layers' measured
+numbers are unchanged.
+
 Reference semantics: arch/unet.py:16-31 _ConvBlock (conv-bn-act x2).
 """
 from __future__ import annotations
 
 from functools import lru_cache, partial
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,18 +42,74 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MB = 4096                 # output lanes per grid step (16 x 128)
-
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def plane_geometry(H: int, W: int) -> Tuple[int, int]:
-    """(P, Lbuf): real plane length and guarded lane-padded buffer length."""
+class PlaneGeo(NamedTuple):
+    """Static plane-layout geometry (hashable: rides static args / cache
+    keys). ``mb``: output lanes per grid step; ``pad``: aligned-load halo
+    (must cover the max tap offset W+3); ``P``: real plane length
+    (H+2)*(W+2); ``lbuf``: guarded buffer length; ``nj``: grid steps."""
+    mb: int
+    pad: int
+    P: int
+    lbuf: int
+    nj: int
+
+
+#: legacy wide-layer constants (224^2/112^2, C<=64) — kept as defaults so the
+#: round-2 tuned configuration is byte-identical
+MB = 4096
+PAD = 256
+
+#: VMEM budget for the patches scratch (the dominant per-call buffer); the
+#: wide f32 tap vector, in/out plane blocks and w2 ride alongside, all well
+#: under the ~16 MB/core budget at this cap.
+_PATCH_BUDGET = 6 << 20
+
+
+def make_geo(H: int, W: int, mb: int, pad: int) -> PlaneGeo:
     P = (H + 2) * (W + 2)
-    ppad = ((P + MB - 1) // MB) * MB
-    return P, MB + ppad + MB          # one guard block each side
+    ppad = ((P + mb - 1) // mb) * mb
+    return PlaneGeo(mb, pad, P, mb + ppad + mb, ppad // mb)
+
+
+@lru_cache(maxsize=None)
+def pick_geometry(H: int, W: int, cmax: int, itemsize: int = 2) -> PlaneGeo:
+    """Choose (mb, pad) for a plane stage whose widest conv has ``cmax``
+    input channels: minimize the total lanes actually processed
+    ``nj * (mb + 2*pad)`` (each grid step loads its block plus the halo
+    overlap, so small blocks re-load every lane ~(1 + 2*pad/mb) times),
+    breaking ties toward larger blocks (fewer grid steps / bigger matmuls),
+    subject to the patches scratch ``9*cmax*mb*itemsize`` fitting the VMEM
+    budget and ``mb >= pad`` (the guard block must cover the halo
+    look-back)."""
+    pad = max(128, ((W + 3 + 127) // 128) * 128)
+    crep = 1 if cmax >= 8 else 8 // cmax
+    best = None
+    for mb in (4096, 2048, 1024, 512, 256, 128):
+        if mb < pad or 9 * cmax * crep * mb * itemsize > _PATCH_BUDGET:
+            continue
+        geo = make_geo(H, W, mb, pad)
+        key = (geo.nj * (mb + 2 * pad), -mb)
+        if best is None or key < best[0]:
+            best = (key, geo)
+    if best is None:
+        raise ValueError(
+            f"no plane geometry fits VMEM for H={H} W={W} cmax={cmax}")
+    return best[1]
+
+
+def _default_geo(H: int, W: int) -> PlaneGeo:
+    return make_geo(H, W, MB, PAD)
+
+
+def plane_geometry(H: int, W: int) -> Tuple[int, int]:
+    """(P, Lbuf) under the LEGACY default geometry (kept for tests)."""
+    g = _default_geo(H, W)
+    return g.P, g.lbuf
 
 
 def tap_offsets(W: int) -> Tuple[int, ...]:
@@ -54,29 +117,31 @@ def tap_offsets(W: int) -> Tuple[int, ...]:
                  for dy in range(3) for dx in range(3))
 
 
-def to_planes(x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+def to_planes(x: jnp.ndarray, dtype=jnp.bfloat16,
+              geo: Optional[PlaneGeo] = None) -> jnp.ndarray:
     """NHWC [B,H,W,C] -> guarded plane layout [B, C, Lbuf], zero borders."""
     B, H, W, C = x.shape
-    P, Lbuf = plane_geometry(H, W)
+    g = geo or _default_geo(H, W)
     xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
-    xp = xp.transpose(0, 3, 1, 2).reshape(B, C, P)
-    return jnp.pad(xp, ((0, 0), (0, 0), (MB, Lbuf - P - MB)))
+    xp = xp.transpose(0, 3, 1, 2).reshape(B, C, g.P)
+    return jnp.pad(xp, ((0, 0), (0, 0), (g.mb, g.lbuf - g.P - g.mb)))
 
 
-def from_planes(xp: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+def from_planes(xp: jnp.ndarray, H: int, W: int,
+                geo: Optional[PlaneGeo] = None) -> jnp.ndarray:
     """guarded planes [B, C, Lbuf] -> NHWC [B,H,W,C] (drop borders/guards)."""
     B, C, _ = xp.shape
-    P = (H + 2) * (W + 2)
-    core = xp[:, :, MB:MB + P].reshape(B, C, H + 2, W + 2)
+    g = geo or _default_geo(H, W)
+    core = xp[:, :, g.mb:g.mb + g.P].reshape(B, C, H + 2, W + 2)
     return core[:, :, 1:-1, 1:-1].transpose(0, 2, 3, 1)
 
 
-def border_mask(H: int, W: int) -> jnp.ndarray:
+def border_mask(H: int, W: int, geo: Optional[PlaneGeo] = None) -> jnp.ndarray:
     """[1, Lbuf] f32: 1 on interior pixels, 0 on borders/guards/padding."""
-    P, Lbuf = plane_geometry(H, W)
-    idx = np.arange(Lbuf) - MB
+    g = geo or _default_geo(H, W)
+    idx = np.arange(g.lbuf) - g.mb
     row, col = idx // (W + 2), idx % (W + 2)
-    ok = ((idx >= 0) & (idx < P) & (row >= 1) & (row <= H)
+    ok = ((idx >= 0) & (idx < g.P) & (row >= 1) & (row <= H)
           & (col >= 1) & (col <= W))
     return jnp.asarray(ok, jnp.float32)[None, :]
 
@@ -100,12 +165,10 @@ def fold_kernel_transposed(kernel: jnp.ndarray) -> jnp.ndarray:
     return taps.transpose(1, 0, 2).reshape(cin, 9 * cout)
 
 
-PAD = 256                 # aligned-load halo; must cover max tap offset W+3
-
-
 def _conv_plane_kernel(x_ref, w2_ref, a_ref, b_ref, mask_ref,
                        out_ref, part_ref, patches,
-                       *, offsets, cin: int, crep: int, apply_bn: bool):
+                       *, offsets, cin: int, crep: int, apply_bn: bool,
+                       mb: int, pad: int):
     """grid (B, nj). One step: ONE aligned wide load + static lane-rolls per
     tap (Mosaic requires 128-aligned vector loads), fused bn-apply/relu,
     patches scratch, one matmul -> preactivation block + stat partials.
@@ -114,12 +177,12 @@ def _conv_plane_kernel(x_ref, w2_ref, a_ref, b_ref, mask_ref,
     written at 8-aligned sublane offsets, so C_in < 8 is replicated to
     ``crep*cin`` rows and w2 carries weight/crep in each replica slot)."""
     j = pl.program_id(1)
-    wide_lo = MB + j * MB - PAD
-    width = MB + 2 * PAD
+    wide_lo = mb + j * mb - pad
+    width = mb + 2 * pad
     # Mosaic's lane rotate is 32-bit only -> convert the wide vector ONCE,
     # roll in f32, cast per-tap patches back to the storage dtype.
     xw = x_ref[0, :, pl.ds(wide_lo, width)].astype(jnp.float32)
-    mw = mask_ref[:, pl.ds(wide_lo, width)]                  # [1,  MB+2PAD]
+    mw = mask_ref[:, pl.ds(wide_lo, width)]                  # [1,  mb+2pad]
     if apply_bn:
         # bn-apply + relu + border-zeroing are POSITION-based, so apply them
         # once to the wide vector instead of once per rolled tap (9x VPU)
@@ -129,17 +192,17 @@ def _conv_plane_kernel(x_ref, w2_ref, a_ref, b_ref, mask_ref,
     rows = cin * crep
     dtype = out_ref.dtype
     for t, off in enumerate(offsets):
-        rel = (-(PAD + off)) % width                         # static shift
-        blk = pltpu.roll(xw, rel, 1)[:, :MB].astype(dtype)   # [Cin, MB]
+        rel = (-(pad + off)) % width                         # static shift
+        blk = pltpu.roll(xw, rel, 1)[:, :mb].astype(dtype)   # [Cin, mb]
         if crep > 1:
-            blk = pltpu.repeat(blk, crep, 0)                 # [rows, MB]
+            blk = pltpu.repeat(blk, crep, 0)                 # [rows, mb]
         patches[pl.ds(t * rows, rows), :] = blk
     acc = jax.lax.dot_general(
         w2_ref[:], patches[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # [Cout, MB]
+        preferred_element_type=jnp.float32)                  # [Cout, mb]
     out = acc.astype(out_ref.dtype)
     out_ref[0, :, :] = out
-    m_out = pltpu.roll(mw, (-PAD) % width, 1)[0, :MB]        # [MB]
+    m_out = pltpu.roll(mw, (-pad) % width, 1)[0, :mb]        # [mb]
     v = jnp.where(m_out > 0, out.astype(jnp.float32), 0.0)
     part_ref[0, 0, 0, :] = jnp.sum(v, axis=1)
     part_ref[0, 0, 1, :] = jnp.sum(v * v, axis=1)
@@ -148,7 +211,8 @@ def _conv_plane_kernel(x_ref, w2_ref, a_ref, b_ref, mask_ref,
 def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
                    H: int, W: int, *, apply_bn: bool = False,
                    a: Optional[jnp.ndarray] = None,
-                   b: Optional[jnp.ndarray] = None):
+                   b: Optional[jnp.ndarray] = None,
+                   geo: Optional[PlaneGeo] = None):
     """One 3x3 conv over guarded planes.
 
     xp [B, Cin, Lbuf]; w2 [Cout, 9*Cin] (fold_kernel / fold_kernel_transposed
@@ -156,18 +220,20 @@ def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
     previous layer's folded BN) is applied to every tap load, masked back to
     zero on borders/guards.
 
-    Returns (out_planes [B, Cout, Lbuf], partials [B, nj, Cout, 2] f32)
+    Returns (out_planes [B, Cout, Lbuf], partials [B, nj, 2, Cout] f32)
     where partials sum (over B, nj) to the masked sum / sum-of-squares of
     the stored-precision preactivation. Guard blocks of ``out`` are never
     written — downstream consumers must mask (they do: every tap load and
     the final apply are masked)."""
     B, cin, Lbuf = xp.shape
     cout = w2.shape[0]
-    if W + 3 > PAD:
-        # The PAD-lane halo must cover the max tap offset (W+3); beyond that
+    g = geo or _default_geo(H, W)
+    assert g.lbuf == Lbuf, (g, Lbuf)
+    if W + 3 > g.pad:
+        # The pad-lane halo must cover the max tap offset (W+3); beyond that
         # the rolls would wrap stale halo lanes into the patches silently.
         raise ValueError(
-            f"plane conv supports W <= {PAD - 3} (got W={W}); "
+            f"plane conv supports W <= {g.pad - 3} (got W={W}); "
             "route this layer through the XLA path instead")
     crep = 1 if cin >= 8 else 8 // cin      # 8-aligned patch-row writes
     if a is None:
@@ -177,20 +243,22 @@ def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
         w3 = w2.reshape(cout, 9, cin)
         w2 = jnp.broadcast_to(w3[:, :, None, :] / crep,
                               (cout, 9, crep, cin)).reshape(cout, -1)
-    f = _partitioned_conv(W, apply_bn, str(jnp.dtype(xp.dtype)))
+    f = _partitioned_conv(W, apply_bn, str(jnp.dtype(xp.dtype)),
+                          g.mb, g.pad)
     return f(xp, w2.astype(xp.dtype),
              a.reshape(cin, 1).astype(jnp.float32),
              b.reshape(cin, 1).astype(jnp.float32), mask)
 
 
-def _conv_plane_call(xp, w2, a, b, mask, *, W: int, apply_bn: bool):
+def _conv_plane_call(xp, w2, a, b, mask, *, W: int, apply_bn: bool,
+                     mb: int, pad: int):
     """The raw pallas_call on (possibly per-shard local) operands."""
     B, cin, Lbuf = xp.shape
     cout, kcols = w2.shape
     crep = kcols // (9 * cin)
-    nj = Lbuf // MB - 2
+    nj = Lbuf // mb - 2
     kern = partial(_conv_plane_kernel, offsets=tap_offsets(W), cin=cin,
-                   crep=crep, apply_bn=apply_bn)
+                   crep=crep, apply_bn=apply_bn, mb=mb, pad=pad)
     return pl.pallas_call(
         kern,
         grid=(B, nj),
@@ -207,7 +275,7 @@ def _conv_plane_call(xp, w2, a, b, mask, *, W: int, apply_bn: bool):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, cout, MB), lambda bi, ji: (bi, 0, ji + 1),
+            pl.BlockSpec((1, cout, mb), lambda bi, ji: (bi, 0, ji + 1),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 2, cout), lambda bi, ji: (bi, ji, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -216,13 +284,14 @@ def _conv_plane_call(xp, w2, a, b, mask, *, W: int, apply_bn: bool):
             jax.ShapeDtypeStruct((B, cout, Lbuf), xp.dtype),
             jax.ShapeDtypeStruct((B, nj, 2, cout), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((kcols, MB), xp.dtype)],
+        scratch_shapes=[pltpu.VMEM((kcols, mb), xp.dtype)],
         interpret=_interpret(),
     )(xp, w2, a, b, mask)
 
 
 @lru_cache(maxsize=None)
-def _partitioned_conv(W: int, apply_bn: bool, _dtype_key: str):
+def _partitioned_conv(W: int, apply_bn: bool, _dtype_key: str,
+                      mb: int, pad: int):
     """GSPMD-partitionable wrapper: the kernel is independent per batch
     element, so under a data mesh each shard runs the pallas_call on its
     LOCAL batch (w2/a/b/mask replicated); the BN stat partials stay
@@ -232,7 +301,8 @@ def _partitioned_conv(W: int, apply_bn: bool, _dtype_key: str):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def _raw(xp, w2, a, b, mask):
-        return _conv_plane_call(xp, w2, a, b, mask, W=W, apply_bn=apply_bn)
+        return _conv_plane_call(xp, w2, a, b, mask, W=W, apply_bn=apply_bn,
+                                mb=mb, pad=pad)
 
     fn = custom_partitioning(_raw)
 
@@ -255,7 +325,7 @@ def _partitioned_conv(W: int, apply_bn: bool, _dtype_key: str):
 
         def lower_fn(xp, w2, a, b, mask):
             return _conv_plane_call(xp, w2, a, b, mask, W=W,
-                                    apply_bn=apply_bn)
+                                    apply_bn=apply_bn, mb=mb, pad=pad)
 
         return mesh, lower_fn, out_sh, arg_sh
 
@@ -294,37 +364,39 @@ def apply_bn_relu_planes(xp: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
 
 # --- differentiable pure plane conv (custom VJP) ------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def plane_conv(xp: jnp.ndarray, kernel: jnp.ndarray, mask: jnp.ndarray,
-               H: int, W: int) -> jnp.ndarray:
+               H: int, W: int,
+               geo: Optional[PlaneGeo] = None) -> jnp.ndarray:
     """3x3 SAME conv on guarded planes; ``kernel`` is HWIO [3,3,Cin,Cout].
     Pure conv — BN/ReLU/stat glue lives in XLA where autodiff handles it.
     The kernel never writes guard blocks, so the raw output (and the raw
     dx of the backward) is masked here — downstream consumers and their
     VJPs then only ever see defined values."""
-    out, _ = conv_plane_geo(xp, fold_kernel(kernel), mask, H, W)
+    out, _ = conv_plane_geo(xp, fold_kernel(kernel), mask, H, W, geo=geo)
     return jnp.where(mask[None] > 0, out, 0).astype(xp.dtype)
 
 
-def _plane_conv_fwd(xp, kernel, mask, H, W):
-    return plane_conv(xp, kernel, mask, H, W), (xp, kernel, mask)
+def _plane_conv_fwd(xp, kernel, mask, H, W, geo):
+    return plane_conv(xp, kernel, mask, H, W, geo), (xp, kernel, mask)
 
 
-def _plane_conv_bwd(H, W, res, g):
+def _plane_conv_bwd(H, W, geo, res, g):
     xp, kernel, mask = res
+    gg = geo or _default_geo(H, W)
     # dx: transposed conv = plane conv of the cotangent with the spatially
     # flipped, channel-swapped kernel (same Pallas kernel).
     g = jnp.where(mask[None] > 0, g, 0).astype(xp.dtype)
-    dxp, _ = conv_plane_geo(g, fold_kernel_transposed(kernel), mask, H, W)
+    dxp, _ = conv_plane_geo(g, fold_kernel_transposed(kernel), mask, H, W,
+                            geo=geo)
     dxp = jnp.where(mask[None] > 0, dxp, 0).astype(xp.dtype)
     # dw: per-tap sliced einsum on planes (XLA fuses the lane slices into
     # the dots; no materialized shifts). out[o,m] = sum_t,i k[t,i,o] *
     # xp[i, m+off_t]  =>  dk[t,i,o] = sum_b,m xp[b,i,m+off_t] * g[b,o,m].
-    P, _ = plane_geometry(H, W)
-    gs = g[:, :, MB:MB + P].astype(jnp.float32)
+    gs = g[:, :, gg.mb:gg.mb + gg.P].astype(jnp.float32)
     dks = []
     for off in tap_offsets(W):
-        xs = jax.lax.dynamic_slice_in_dim(xp, MB + off, P, 2)
+        xs = jax.lax.dynamic_slice_in_dim(xp, gg.mb + off, gg.P, 2)
         dks.append(jnp.einsum("bim,bom->io", xs.astype(jnp.float32), gs,
                               preferred_element_type=jnp.float32))
     dk = jnp.stack(dks, 0).reshape(3, 3, *dks[0].shape)
@@ -358,59 +430,66 @@ def convblock_stage(x: jnp.ndarray, skip: Optional[jnp.ndarray],
     batch stats feed the caller's running-average update.
 
     ``skip`` reproduces ConvBlock(skip=...): conv0 acts on
-    ``concat([skip, x], -1)`` via two plane convs on slices of ``k0``."""
+    ``concat([skip, x], -1)`` via two plane convs on slices of ``k0``.
+
+    All planes inside one stage share ONE geometry picked for the widest
+    conv (cmax), so conv0's output feeds conv1 without a re-layout."""
     B, H, W, _ = x.shape
-    mask = border_mask(H, W)
+    cout = k1.shape[-1]
+    cmax = max(x.shape[-1], cout,
+               skip.shape[-1] if skip is not None else 0)
+    geo = pick_geometry(H, W, cmax, jnp.dtype(dtype).itemsize)
+    mask = border_mask(H, W, geo)
     count = float(B * H * W)
-    xp = to_planes(x, dtype)
+    xp = to_planes(x, dtype, geo)
     if skip is not None:
         # conv over concat = sum of two convs; stats of the SUM are not the
         # sum of per-conv stats (sumsq is nonlinear), so reduce in XLA here
         cs = skip.shape[-1]
-        sp = to_planes(skip, dtype)
-        p0 = (plane_conv(sp, k0[:, :, :cs], mask, H, W)
-              + plane_conv(xp, k0[:, :, cs:], mask, H, W)).astype(dtype)
+        sp = to_planes(skip, dtype, geo)
+        p0 = (plane_conv(sp, k0[:, :, :cs], mask, H, W, geo)
+              + plane_conv(xp, k0[:, :, cs:], mask, H, W, geo)).astype(dtype)
         mean0, var0 = masked_stats(p0, mask, count)
     else:
-        p0, s0, sq0 = plane_conv_stats(xp, k0, mask, H, W)
+        p0, s0, sq0 = plane_conv_stats(xp, k0, mask, H, W, geo)
         mean0 = s0 / count
         var0 = jnp.maximum(sq0 / count - mean0 * mean0, 0.0)
     scale0, bias0 = affine0
     a0 = scale0 * jax.lax.rsqrt(var0 + eps)
     b0 = bias0 - a0 * mean0
     h0 = apply_bn_relu_planes(p0, a0, b0, mask)
-    p1, s1, sq1 = plane_conv_stats(h0, k1, mask, H, W)
+    p1, s1, sq1 = plane_conv_stats(h0, k1, mask, H, W, geo)
     mean1 = s1 / count
     var1 = jnp.maximum(sq1 / count - mean1 * mean1, 0.0)
     scale1, bias1 = affine1
     a1 = scale1 * jax.lax.rsqrt(var1 + eps)
     b1 = bias1 - a1 * mean1
     h1 = apply_bn_relu_planes(p1, a1, b1, mask)
-    return from_planes(h1, H, W), (mean0, var0, mean1, var1)
+    return from_planes(h1, H, W, geo), (mean0, var0, mean1, var1)
 
 
 # --- conv WITH the kernel's free stat partials (differentiable) ---------
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def plane_conv_stats(xp: jnp.ndarray, kernel: jnp.ndarray, mask: jnp.ndarray,
-                     H: int, W: int):
+                     H: int, W: int, geo: Optional[PlaneGeo] = None):
     """Like :func:`plane_conv` but also returns the masked per-channel
     (sum, sum-of-squares) of the output — taken from the kernel's per-block
     partials, which are computed in-VMEM for free, instead of a separate
     XLA reduce over the [B, C, Lbuf] planes (one full memory pass saved per
     statistic per layer)."""
-    out, part = conv_plane_geo(xp, fold_kernel(kernel), mask, H, W)
+    out, part = conv_plane_geo(xp, fold_kernel(kernel), mask, H, W, geo=geo)
     out = jnp.where(mask[None] > 0, out, 0).astype(xp.dtype)
     s = part.sum((0, 1))                                    # [2, C] f32
     return out, s[0], s[1]
 
 
-def _pcs_fwd(xp, kernel, mask, H, W):
-    out, ssum, ssq = plane_conv_stats(xp, kernel, mask, H, W)
+def _pcs_fwd(xp, kernel, mask, H, W, geo):
+    out, ssum, ssq = plane_conv_stats(xp, kernel, mask, H, W, geo)
     return (out, ssum, ssq), (xp, kernel, mask, out)
 
 
-def _pcs_bwd(H, W, res, cot):
+def _pcs_bwd(H, W, geo, res, cot):
     xp, kernel, mask, out = res
     g_out, g_s, g_sq = cot
     # d(sum)/d(out) = mask ; d(sumsq)/d(out) = 2*out*mask — fold both into
@@ -419,7 +498,7 @@ def _pcs_bwd(H, W, res, cot):
          + mask[None] * (g_s[None, :, None]
                          + 2.0 * out.astype(jnp.float32)
                          * g_sq[None, :, None]))
-    dxp, dk, _ = _plane_conv_bwd(H, W, (xp, kernel, mask), g)
+    dxp, dk, _ = _plane_conv_bwd(H, W, geo, (xp, kernel, mask), g)
     return dxp, dk, None
 
 

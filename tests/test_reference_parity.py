@@ -462,51 +462,18 @@ class TestUNetForwardParity:
         from contrastyou_tpu.models.unet import UNet as JUNet
         jnet = JUNet(input_dim=1, num_classes=4, max_channel=128,
                      dtype=jnp.float32)
-        tsd = {k: v.detach() for k, v in tnet.state_dict().items()}
-
-        params, stats = {}, {}
-
-        def port_convblock(tprefix, name):
-            params[name] = {
-                "conv0": {"kernel": _np(tsd[f"{tprefix}.conv.0.weight"]
-                                        .permute(2, 3, 1, 0))},
-                "bn0": {"scale": _np(tsd[f"{tprefix}.conv.1.weight"]),
-                        "bias": _np(tsd[f"{tprefix}.conv.1.bias"])},
-                "conv1": {"kernel": _np(tsd[f"{tprefix}.conv.3.weight"]
-                                        .permute(2, 3, 1, 0))},
-                "bn1": {"scale": _np(tsd[f"{tprefix}.conv.4.weight"]),
-                        "bias": _np(tsd[f"{tprefix}.conv.4.bias"])},
-            }
-            stats[name] = {
-                "bn0": {"mean": _np(tsd[f"{tprefix}.conv.1.running_mean"]),
-                        "var": _np(tsd[f"{tprefix}.conv.1.running_var"])},
-                "bn1": {"mean": _np(tsd[f"{tprefix}.conv.4.running_mean"]),
-                        "var": _np(tsd[f"{tprefix}.conv.4.running_var"])},
-            }
-
-        def port_upconv(tprefix, name):
-            params[name] = {
-                "conv": {"kernel": _np(tsd[f"{tprefix}.up.1.weight"]
-                                       .permute(2, 3, 1, 0))},
-                "bn": {"scale": _np(tsd[f"{tprefix}.up.2.weight"]),
-                       "bias": _np(tsd[f"{tprefix}.up.2.bias"])},
-            }
-            stats[name] = {
-                "bn": {"mean": _np(tsd[f"{tprefix}.up.2.running_mean"]),
-                       "var": _np(tsd[f"{tprefix}.up.2.running_var"])},
-            }
-
-        for i in range(1, 6):
-            port_convblock(f"_Conv{i}", f"Conv{i}")
-        for i in range(2, 6):
-            port_upconv(f"_Up{i}", f"Up{i}")
-            port_convblock(f"_Up_conv{i}", f"Up_conv{i}")
-        params["Deconv_1x1"] = {
-            "kernel": _np(tsd["_Deconv_1x1.weight"].permute(2, 3, 1, 0)),
-            "bias": _np(tsd["_Deconv_1x1.bias"]),
-        }
-        variables = {"params": jax.tree.map(jnp.asarray, params),
-                     "batch_stats": jax.tree.map(jnp.asarray, stats)}
+        # the PRODUCT converter (utils/torch_convert.py) does the porting —
+        # this fixture is its golden coverage, and the npz round-trip below
+        # covers the offline warm-start archive path (Arch.pretrained_path)
+        from contrastyou_tpu.utils.torch_convert import (
+            convert_unet_state_dict, load_npz_tree, save_npz_tree)
+        import tempfile
+        from pathlib import Path
+        tsd = {k: _np(v) for k, v in tnet.state_dict().items()}
+        with tempfile.TemporaryDirectory() as td:
+            path = str(Path(td) / "w.npz")
+            save_npz_tree(path, convert_unet_state_dict(tsd))
+            variables = jax.tree.map(jnp.asarray, load_npz_tree(path))
         return tnet, jnet, variables
 
     def _compare(self, models, until, atol):

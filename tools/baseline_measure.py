@@ -58,8 +58,16 @@ MT_ALPHA = 0.999
 # --------------------------------------------------------------------------
 # shared data + batch sequence (both sides consume identical arrays)
 # --------------------------------------------------------------------------
+def _force_cpu():
+    """Both sides run on the host CPU — the rebuild's meters/eval are jitted
+    jax, and the axon TPU plugin ignores JAX_PLATFORMS (CLAUDE.md gotcha)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
 def make_data(cfg):
     sys.path.insert(0, str(REPO))
+    _force_cpu()
     from contrastyou_tpu.data import synthesize_acdc_like, ACDCDataset
     root = Path("/tmp/baseline_data") / f"s{cfg['size']}"
     if not (root / "train").exists():
@@ -133,11 +141,6 @@ def _with_stubs(action):
     raise RuntimeError("could not satisfy reference imports")
 
 
-def ref_modules():
-    import loguru_stub  # noqa: F401 — placeholder to keep linters quiet
-    raise RuntimeError
-
-
 def load_reference():
     if "loguru" not in sys.modules:
         loguru = types.ModuleType("loguru")
@@ -152,6 +155,11 @@ def load_reference():
     return arch, kl
 
 
+def _init_archive(cfg) -> Path:
+    return Path("/tmp/baseline_data") / (
+        f"init_c{cfg['max_channel']}_s{cfg['seed']}.npz")
+
+
 def run_ref(cfg, what, steps, eval_every):
     import torch
     torch.manual_seed(cfg["seed"])
@@ -161,6 +169,12 @@ def run_ref(cfg, what, steps, eval_every):
     model = arch.UNet(input_dim=1, num_classes=cfg["num_classes"],
                       max_channel=cfg["max_channel"],
                       momentum=cfg["bn_momentum"])
+    # export the torch INIT so the rebuild side starts from identical
+    # weights — matched-init, matched-data, matched-steps trajectories
+    from contrastyou_tpu.utils.torch_convert import (
+        convert_unet_state_dict, save_npz_tree)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    save_npz_tree(str(_init_archive(cfg)), convert_unet_state_dict(sd))
     crit = kl.KL_div()
     opt = torch.optim.RAdam(model.parameters(), lr=cfg["lr"],
                             weight_decay=cfg["weight_decay"])
@@ -208,10 +222,19 @@ def run_ref(cfg, what, steps, eval_every):
         logits = model(x)
         loss = crit(logits.softmax(1), onehot(y))
         if what == "mt":
+            # the reference's real two-stage semi shape (epocher.py:264-377 +
+            # hooks/mt.py): student fwd on cat(unlabeled, unlabeled_tf),
+            # teacher fwd on unlabeled, consistency between the student's
+            # tf view and the transformed teacher probs. The transform here
+            # is a flip (the rebuild side runs its full affine+gamma
+            # augmentation in-graph, i.e. slightly MORE work).
+            u = x
+            u_tf = torch.flip(u, [-1])
+            both = model(torch.cat([u, u_tf], 0))
+            s_tf = both[u.shape[0]:]
             with torch.no_grad():
-                t_logits = teacher(x)
-            loss = loss + 0.1 * crit(logits.softmax(1),
-                                     t_logits.softmax(1).detach())
+                t_probs_tf = torch.flip(teacher(u).softmax(1), [-1])
+            loss = loss + 0.1 * crit(s_tf.softmax(1), t_probs_tf)
         loss.backward()
         opt.step()
         if what == "mt":
@@ -234,8 +257,8 @@ def run_ref(cfg, what, steps, eval_every):
 def run_jax(cfg, what, steps, eval_every):
     os.environ.setdefault("CONTRASTYOU_FORCE_CPU", "1")
     sys.path.insert(0, str(REPO))
+    _force_cpu()
     import jax
-    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from contrastyou_tpu.engine import ModelBundle, init_train_state
     from contrastyou_tpu.engine.optim import create_optimizer
@@ -250,6 +273,13 @@ def run_jax(cfg, what, steps, eval_every):
                  momentum=cfg["bn_momentum"], dtype=jnp.float32)
     bundle = ModelBundle.create(model, jax.random.PRNGKey(cfg["seed"]),
                                 (cfg["crop"], cfg["crop"], 1))
+    if _init_archive(cfg).exists():
+        from contrastyou_tpu.utils.torch_convert import load_npz_tree
+        tree = load_npz_tree(str(_init_archive(cfg)))
+        bundle.params = jax.tree.map(jnp.asarray, tree["params"])
+        bundle.batch_stats = jax.tree.map(jnp.asarray, tree["batch_stats"])
+        print("[jax] warm-started from the torch reference init "
+              f"({_init_archive(cfg).name})")
     hooks = []
     if what == "mt":
         hooks = [MeanTeacherTrainerHook(weight=0.1, alpha=MT_ALPHA)]

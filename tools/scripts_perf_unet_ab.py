@@ -1,0 +1,81 @@
+"""Whole-model A/B on chip: UNet-512 224^2 fwd+bwd (batch 10, batch-stats
+mode) under three conv routings:
+  all-xla       CONTRASTYOU_PALLAS_CONV=0
+  plane-shallow CONTRASTYOU_PALLAS_CONV=1 (C<=64 levels, round-2 default)
+  plane-deep    + CONTRASTYOU_PALLAS_DEEP=1 (every level)
+
+Timing per BENCH_NOTES.md rules: donated chained state, fresh contents per
+step, content read at the end. Motivated by the round-3 finding that
+isolated deep ConvBlocks run 3x faster than their share of the full step —
+this probe localizes composition/layout overhead at the model level.
+"""
+import os
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.append(str(Path(__file__).resolve().parent.parent))
+
+from contrastyou_tpu.models import UNet  # noqa: E402
+
+B, H = 10, 224
+INNER, CALLS, WARM = 4, 6, 1
+
+
+def build(mode: str):
+    os.environ["CONTRASTYOU_PALLAS_CONV"] = "0" if mode == "all-xla" else "1"
+    os.environ["CONTRASTYOU_PALLAS_DEEP"] = (
+        "1" if mode == "plane-deep" else "0")
+    model = UNet(input_dim=1, num_classes=4, max_channel=512)
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal((B, H, H, 1)),
+                     jnp.bfloat16)
+    v = model.init(jax.random.PRNGKey(0), x0, train=True)
+
+    def loss(params, xx):
+        (logits, _), _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, xx,
+            train=True, mutable=["batch_stats"])
+        return jnp.mean(logits ** 2)
+
+    grad = jax.value_and_grad(loss, argnums=1)
+
+    @partial(jax.jit, donate_argnums=0)
+    def chain(state):
+        def body(carry, _):
+            xx, acc = carry
+            val, dx = grad(v["params"], xx)
+            return (xx + 1e-3 * dx.astype(xx.dtype), acc + val), None
+
+        return jax.lax.scan(body, state, None, length=INNER)[0]
+
+    return chain, (x0, jnp.float32(0.0))
+
+
+def main():
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    flop = None
+    for mode in ("all-xla", "plane-shallow", "plane-deep"):
+        chain, state = build(mode)
+        if flop is None:
+            flop = chain.lower(state).compile().cost_analysis()["flops"] / INNER
+            print(f"cost analysis: {flop / 1e12:.3f} TFLOP per fwd+bwd")
+        for _ in range(WARM):
+            state = chain(state)
+        float(state[1])
+        t0 = time.perf_counter()
+        for _ in range(CALLS):
+            state = chain(state)
+        acc = float(state[1])
+        dt = time.perf_counter() - t0
+        per = dt / (CALLS * INNER)
+        print(f"{mode:>14}: {per * 1e3:7.2f} ms  "
+              f"{flop / per / 1e12:5.1f} TFLOP/s  acc={acc:.3e}")
+
+
+if __name__ == "__main__":
+    main()
