@@ -110,6 +110,24 @@ class Trainer:
         rng = jax.random.PRNGKey(self._seed)
         input_shape = self._probe_input_shape()
         self._bundle = ModelBundle.create(self._model, rng, input_shape)
+        if getattr(self, "_pretrained_path", None) is not None:
+            # Arch.pretrained_path: partial warm start from a LOCAL npz
+            # archive (torch load_state_dict(strict=False) semantics) — the
+            # egress-free equivalent of the reference's ImageNet encoder
+            # weights (arch/smp.py:15). tools/convert_torch_weights.py
+            # produces archives where torch + downloads exist.
+            from ..utils.torch_convert import load_npz_tree, merge_pretrained
+            tree = load_npz_tree(self._pretrained_path)
+            merged_p, lo_p, sk_p = merge_pretrained(
+                self._bundle.params, tree.get("params", {}))
+            merged_s, lo_s, sk_s = merge_pretrained(
+                self._bundle.batch_stats, tree.get("batch_stats", {}))
+            self._bundle.params = jax.tree.map(jnp.asarray, merged_p)
+            self._bundle.batch_stats = jax.tree.map(jnp.asarray, merged_s)
+            logger.info(
+                f"pretrained warm start from {self._pretrained_path}: "
+                f"{len(lo_p) + len(lo_s)} tensors loaded, "
+                f"{len(sk_p) + len(sk_s)} shape-mismatched skipped")
         if getattr(self, "_warm_start_params", None) is not None:
             self._bundle.params = self._warm_start_params
         hooks = self._hooks if self.activate_hooks else []
@@ -195,6 +213,12 @@ class Trainer:
                                     if self._unlabeled_loader is not None
                                     else None)
         return self._labeled_iter, self._unlabeled_iter
+
+    def load_pretrained(self, path: str) -> None:
+        """Schedule an ``Arch.pretrained_path`` partial warm start (applied
+        at init(), see there)."""
+        assert not self._initialized, "load_pretrained before init()"
+        self._pretrained_path = str(path)
 
     def load_model_params(self, params) -> None:
         """Warm-start model weights (Arch.checkpoint, ref main.py:51-58)."""

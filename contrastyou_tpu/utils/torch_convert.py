@@ -26,7 +26,8 @@ import typing as t
 
 import numpy as np
 
-__all__ = ["convert_unet_state_dict", "load_npz_tree", "save_npz_tree"]
+__all__ = ["convert_unet_state_dict", "load_npz_tree", "save_npz_tree",
+           "merge_pretrained"]
 
 _CONV_BLOCKS = ("Conv1", "Conv2", "Conv3", "Conv4", "Conv5",
                 "Up_conv5", "Up_conv4", "Up_conv3", "Up_conv2")
@@ -104,3 +105,35 @@ def load_npz_tree(path: str) -> dict:
                 node = node.setdefault(p, {})
             node[parts[-1]] = z[key]
     return out
+
+
+def merge_pretrained(init_tree: t.Mapping, archive_tree: t.Mapping,
+                     _prefix: str = "") -> tuple[dict, list[str], list[str]]:
+    """Partial warm start (torch ``load_state_dict(strict=False)``
+    semantics, the reference's pretrained-encoder behavior arch/smp.py:15):
+    overlay ``archive_tree`` leaves onto ``init_tree`` wherever the path
+    exists AND the shape matches. Returns (merged, loaded_paths,
+    skipped_paths); untouched init leaves keep their values — an
+    encoder-only archive warm-starts Conv1..Conv5 and leaves the decoder at
+    its fresh initialization."""
+    merged: dict = {}
+    loaded: list[str] = []
+    skipped: list[str] = []
+    for k, v in init_tree.items():
+        path = f"{_prefix}/{k}" if _prefix else str(k)
+        if isinstance(v, t.Mapping):
+            sub = archive_tree.get(k, {}) if isinstance(
+                archive_tree, t.Mapping) else {}
+            m, lo, sk = merge_pretrained(v, sub, path)
+            merged[k] = m
+            loaded += lo
+            skipped += sk
+        elif (isinstance(archive_tree, t.Mapping) and k in archive_tree
+              and np.shape(archive_tree[k]) == np.shape(v)):
+            merged[k] = np.asarray(archive_tree[k])
+            loaded.append(path)
+        else:
+            merged[k] = v
+            if isinstance(archive_tree, t.Mapping) and k in archive_tree:
+                skipped.append(path)   # present but shape-mismatched
+    return merged, loaded, skipped

@@ -59,6 +59,7 @@ def main(argv=None) -> float:
     arch_params = dict(config.get("Arch", {}))
     arch_params.pop("true_num_classes", None)
     checkpoint = arch_params.pop("checkpoint", None)
+    pretrained_path = arch_params.pop("pretrained_path", None)
     multicore_kwargs = {}
     model_num_classes = num_classes
     if trainer_name == "multicore":
@@ -102,6 +103,10 @@ def main(argv=None) -> float:
     hooks = create_hook_from_config(config, is_pretrain=is_pretrain,
                                     trainer=trainer)
     trainer.register_hooks(*hooks)
+    if pretrained_path:
+        # offline pretrained warm start (ref arch/smp.py:15 ImageNet
+        # encoder): a local npz archive, partial-merge semantics
+        trainer.load_pretrained(pretrained_path)
     trainer.init()
 
     if checkpoint:
