@@ -531,3 +531,161 @@ def test_ema_updater_parity(ref):
                                    _np(teacher.weight), atol=1e-6)
         np.testing.assert_allclose(np.asarray(ema_tree["b"]),
                                    _np(teacher.bias), atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# semi_seg/hooks/mt.py 100-319 — MT/UAMT/ICT hook behavior parity
+# --------------------------------------------------------------------------
+class _TorchIdentity(torch.nn.Module):
+    """Teacher/student stand-in with the reference _Network bn-track
+    protocol; forward is the identity so hook math is isolated from any
+    particular network."""
+
+    def forward(self, x):  # noqa: D102
+        return x
+
+    def switch_bn_track(self, enable=True, **kw):
+        import contextlib
+        return contextlib.nullcontext()
+
+
+class _MeterStub:
+    def __getitem__(self, k):
+        return self
+
+    def add(self, *a, **kw):
+        pass
+
+    def __bool__(self):
+        return False        # EpocherHook.context -> nullcontext
+
+
+class _IdBundle:
+    """Identity 'model' for the jax hooks: logits == input image."""
+
+    def apply_train(self, params, stats, image, taps=(), until=None,
+                    update_stats=True):
+        return (image, {}), stats
+
+    def apply_eval(self, params, stats, image, taps=(), until=None):
+        return image, {}
+
+
+def _mt_ref_hook(ref, cls_name, *, hard_clip=False, epoch=0, max_epoch=10):
+    import types as _types
+    cls = getattr(ref.mt, cls_name)
+    hook = cls(name="mt", weight=1.0, criterion=torch.nn.MSELoss(
+        reduction="none"), teacher_model=_TorchIdentity(),
+        updater=ref.mt.EMAUpdater(), extra_teachers=torch.nn.ModuleList(),
+        extra_updater=ref.mt.EMAUpdater(),
+        **({"hard_clip": hard_clip}
+           if cls_name != "_ICTMeanTeacherEpocherHook" else {}))
+    hook.meters = _MeterStub()
+    hook._epocher = _types.SimpleNamespace(
+        cur_epoch=epoch, _model=_TorchIdentity(),
+        trainer=_types.SimpleNamespace(_max_epoch=max_epoch))
+    hook._epocher_init = True
+    return hook
+
+
+def _mt_ctx(u, u_tf_logits):
+    from contrastyou_tpu.engine.hooks import StepContext
+    ctx = StepContext(bundle=_IdBundle(), params={}, batch_stats={},
+                      rng=jax.random.PRNGKey(0), epoch=jnp.int32(0))
+    ctx.unlabeled_image = jnp.asarray(u.transpose(0, 2, 3, 1))
+    ctx.unlabeled_tf_logits = jnp.asarray(u_tf_logits.transpose(0, 2, 3, 1))
+    ctx.affine_transformer = lambda f, order=0: jnp.flip(f, axis=2)
+    return ctx
+
+
+@pytest.mark.parametrize("hard_clip", [False, True])
+def test_mt_hook_loss_parity(ref, hard_clip):
+    """_MeanTeacherEpocherHook._call_implementation (mt.py:174-190): teacher
+    fwd -> transform -> softmax (-> optional hard one-hot) -> MSE."""
+    rng = np.random.default_rng(0)
+    B, C, H = 3, 4, 6
+    u = rng.standard_normal((B, C, H, H)).astype(np.float32)
+    s_tf = rng.standard_normal((B, C, H, H)).astype(np.float32)
+
+    hook = _mt_ref_hook(ref, "_MeanTeacherEpocherHook", hard_clip=hard_clip)
+    want = hook._call_implementation(
+        unlabeled_tf_logits=_t(s_tf), unlabeled_image=_t(u), seed=1,
+        affine_transformer=lambda t_, mode=None: torch.flip(t_, [-1]))
+
+    from contrastyou_tpu.hooks import MeanTeacherTrainerHook
+    jhook = MeanTeacherTrainerHook(weight=1.0, hard_clip=hard_clip)
+    state = {"teacher_params": {}, "teacher_batch_stats": {},
+             "ema_step": jnp.int32(0)}
+    got, _, _ = jhook.loss(_mt_ctx(u, s_tf), None, state)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+@pytest.mark.parametrize("epoch", [0, 3, 9])
+def test_uamt_mask_threshold_parity(ref, monkeypatch, epoch):
+    """_UAMeanTeacherEpocherHook (mt.py:221-276): N-noisy-pass aggregation,
+    the entropy threshold ramp 3/4*lnC + 1/4*lnC*(e/E), per-pixel masking
+    and the mask-mean normalization. Noise is zeroed on both sides so the
+    masking/threshold math itself is compared exactly."""
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda t_, **kw: torch.zeros_like(t_))
+    rng = np.random.default_rng(1)
+    B, C, H = 3, 4, 6
+    u = rng.standard_normal((B, C, H, H)).astype(np.float32) * 2.0
+    s_tf = rng.standard_normal((B, C, H, H)).astype(np.float32)
+
+    hook = _mt_ref_hook(ref, "_UAMeanTeacherEpocherHook", epoch=epoch)
+    want = hook._call_implementation(
+        unlabeled_tf_logits=_t(s_tf), unlabeled_image=_t(u),
+        unlabeled_image_tf=_t(u), seed=1,
+        affine_transformer=lambda t_, mode=None: torch.flip(t_, [-1]))
+
+    from contrastyou_tpu.hooks import UAMeanTeacherTrainerHook
+    jhook = UAMeanTeacherTrainerHook(weight=1.0, num_noise=4, noise_std=0.0,
+                                     max_epoch=10)
+    ctx = _mt_ctx(u, s_tf)
+    ctx.epoch = jnp.int32(epoch)
+    state = {"teacher_params": {}, "teacher_batch_stats": {},
+             "ema_step": jnp.int32(0)}
+    got, _, metrics = jhook.loss(ctx, None, state)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    assert 0.0 <= float(metrics["mask"]) <= 1.0
+
+
+def test_ict_mixing_parity(ref, monkeypatch):
+    """_ICTMeanTeacherEpocherHook (mt.py:296-316): teacher probs of both
+    views, single-lambda mixup of images+targets, student on the mixed
+    image, MSE to the mixed target. lam/permutation are pinned identically
+    on both sides so the mixing assembly is compared exactly."""
+    lam = 0.37
+    perm = np.array([2, 0, 1, 3])
+    rng = np.random.default_rng(2)
+    B, C, H = 4, 4, 6
+    u = rng.standard_normal((B, C, H, H)).astype(np.float32)
+    u_tf = rng.standard_normal((B, C, H, H)).astype(np.float32)
+
+    monkeypatch.setattr(np.random, "beta", lambda *a, **kw: lam)
+    full_perm = np.concatenate([perm, perm + B])
+    monkeypatch.setattr(torch, "randperm",
+                        lambda n, **kw: torch.from_numpy(full_perm[:n]))
+    hook = _mt_ref_hook(ref, "_ICTMeanTeacherEpocherHook")
+    want = hook._call_implementation(
+        unlabeled_tf_logits=_t(u_tf), unlabeled_image=_t(u),
+        unlabeled_image_tf=_t(u_tf), seed=1)
+
+    import contrastyou_tpu.hooks.mt as jmt
+
+    def pinned_mixup(x, y, key, alpha=1.0):
+        idx = jnp.asarray(full_perm[:x.shape[0]])
+        return (lam * x + (1 - lam) * x[idx],
+                lam * y + (1 - lam) * y[idx], jnp.float32(lam))
+
+    monkeypatch.setattr(jmt, "mixup_data", pinned_mixup)
+    jhook = jmt.ICTMeanTeacherTrainerHook(weight=1.0)
+    ctx = _mt_ctx(u, u_tf)
+    ctx.unlabeled_image_tf = jnp.asarray(u_tf.transpose(0, 2, 3, 1))
+    ctx.batch_stats = {}
+    ctx.params = {}
+    state = {"teacher_params": {}, "teacher_batch_stats": {},
+             "ema_step": jnp.int32(0)}
+    got, _, _ = jhook.loss(ctx, None, state)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
