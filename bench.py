@@ -38,9 +38,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Estimated reference throughput: single-GPU PyTorch epocher at batch 5+5,
-# 224^2, UNet-512 with per-batch python hook dispatch and .item() syncs
-# (SURVEY.md §6). Slices/sec = (5 labeled + 5 unlabeled) * steps/sec.
+# Reference single-A100 throughput estimate, derived in BASELINE_MEASURED.md
+# (round 3): measured 1.148 TFLOP/step x A100 tf32 peak 156 TFLOP/s x the
+# 15-25% MFU band realistic for the reference's sync-per-batch epocher
+# (loss.item() + meters each batch, PIL input pipeline, AMP casts) ->
+# 205-340 slices/s; 250 = band middle. The pure-conv best case (45% MFU,
+# 610 slices/s) is reported there too so vs_baseline is interpretable.
+# Slices/sec = (5 labeled + 5 unlabeled) * steps/sec.
 A100_SLICES_PER_SEC = 250.0
 
 BATCH_LABELED = 5

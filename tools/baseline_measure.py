@@ -234,7 +234,9 @@ def run_ref(cfg, what, steps, eval_every):
             s_tf = both[u.shape[0]:]
             with torch.no_grad():
                 t_probs_tf = torch.flip(teacher(u).softmax(1), [-1])
-            loss = loss + 0.1 * crit(s_tf.softmax(1), t_probs_tf)
+            # the reference MT hook's criterion is MSELoss (mt.py:98), not KL
+            loss = loss + 0.1 * torch.nn.functional.mse_loss(
+                s_tf.softmax(1), t_probs_tf)
         loss.backward()
         opt.step()
         if what == "mt":
@@ -289,8 +291,12 @@ def run_jax(cfg, what, steps, eval_every):
         max_epoch=1, steps_per_epoch=steps)
     state = init_train_state(bundle, hooks, optimizer,
                              jax.random.PRNGKey(cfg["seed"] + 1))
+    # disable_bn for mt: the affine-transformed view's zero borders pollute
+    # BN running stats on short runs (the reference's own knob for this,
+    # config Trainer.disable_bn; the torch loop's flip view has no borders)
     step = build_train_step(bundle, optimizer, hooks, mode="ft"
-                            if what != "mt" else "semi", two_stage=True)
+                            if what != "mt" else "semi", two_stage=True,
+                            disable_bn=(what == "mt"))
     eval_step = build_eval_step(bundle)
 
     idxs = batch_sequence(len(timg), cfg, steps)
