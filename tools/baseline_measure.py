@@ -269,6 +269,24 @@ def run_jax(cfg, what, steps, eval_every):
     from contrastyou_tpu.meters import UniversalDice
     from contrastyou_tpu.models import UNet
 
+    if what == "mt":
+        # match the torch harness's flip view exactly: pin the two-view
+        # transform to a deterministic W-flip with no intensity jitter, so
+        # both sides solve the same consistency task (the full affine+gamma
+        # pipeline is the production default — measured separately)
+        import contrastyou_tpu.engine.steps as steps_mod
+        from contrastyou_tpu.ops import affine as aff
+
+        def flip_geo(key, batch, **kw):
+            z = jnp.zeros((batch,))
+            return aff.GeoParams(scale=jnp.ones((batch,)), angle=z, tx=z,
+                                 ty=z, flip_h=jnp.zeros((batch,), bool),
+                                 flip_w=jnp.ones((batch,), bool))
+
+        steps_mod.sample_geo_params = flip_geo
+        steps_mod.transform_image = (
+            lambda img, geo, key: aff.apply_geometric(img, geo, order=0))
+
     (timg, ttgt, tscan), (vimg, vtgt, vscan) = make_data(cfg)
     C = cfg["num_classes"]
     model = UNet(input_dim=1, num_classes=C, max_channel=cfg["max_channel"],
@@ -305,7 +323,7 @@ def run_jax(cfg, what, steps, eval_every):
         m = UniversalDice(C, report_axis=range(1, C))
         if what == "mt":
             params = st.hook_states["mt"]["teacher_params"]
-            stats = st.batch_stats
+            stats = st.hook_states["mt"]["teacher_batch_stats"]
         else:
             params, stats = st.params, st.batch_stats
         for lo in range(0, len(vimg), cfg["batch"]):
