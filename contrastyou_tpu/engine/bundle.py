@@ -36,11 +36,18 @@ class ModelBundle:
 
     # --- functional applies (params passed explicitly; jit-safe) -------
     def apply_train(self, params, batch_stats, x, *, until=None, taps=(),
-                    update_stats: bool = True):
-        """-> ((out, taps_dict), new_batch_stats)."""
+                    update_stats: bool = True, bn_groups=None,
+                    bn_update=None):
+        """-> ((out, taps_dict), new_batch_stats). ``bn_groups``/``bn_update``
+        request per-group BN statistics (fused two-stage; models advertise
+        support via ``supports_bn_groups``)."""
+        kw = {}
+        if bn_groups is not None:
+            kw = dict(bn_groups=tuple(bn_groups),
+                      bn_update=tuple(bn_update) if bn_update else None)
         out, mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats}, x, until=until,
-            taps=taps, train=True, mutable=["batch_stats"])
+            taps=taps, train=True, mutable=["batch_stats"], **kw)
         new_stats = mutated["batch_stats"] if update_stats else batch_stats
         return out, new_stats
 

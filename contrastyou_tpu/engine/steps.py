@@ -65,6 +65,14 @@ def build_train_step(bundle: ModelBundle, optimizer,
     num_classes = target_num_classes or bundle.num_classes
     criterion = sup_criterion or (lambda probs, onehot: kl_div(probs, onehot))
     transform = prob_transform or (lambda p: p)
+    import os
+    # fused two-stage: one batch-(nl+2*nu) conv pass with per-group BN
+    # statistics — identical semantics, full sublane tiling (see below).
+    # Requires model support; CONTRASTYOU_FUSED_TWOSTAGE=0 falls back to
+    # the two sequential passes (the A/B + equivalence-test path).
+    fuse_two_stage = (
+        getattr(bundle.model, "supports_bn_groups", False)
+        and os.environ.get("CONTRASTYOU_FUSED_TWOSTAGE", "1") != "0")
 
     def loss_fn(trainables, batch_stats, hook_states, batch, rng, epoch):
         params, hook_params = trainables
@@ -85,7 +93,28 @@ def build_train_step(bundle: ModelBundle, optimizer,
             ctx.unlabeled_image_tf = unlabeled_image_tf
             ctx.rng = k_hook
 
-            if two_stage:
+            if two_stage and fuse_two_stage:
+                # ONE conv pass over cat(labeled, unlabeled, unlabeled_tf)
+                # with PER-GROUP BN statistics — numerically the reference's
+                # two sequential passes (group 0 = labeled batch stats,
+                # group 1 = unlabeled-both-views batch stats; running stats
+                # EMA'd labeled-then-unlabeled, disable_bn gates the
+                # unlabeled update), but the convs tile at batch
+                # nl+2*nu (5+10 -> a full 16-sublane tile) instead of two
+                # padded passes (5->8 and 10->16).
+                nl = labeled_image.shape[0]
+                nu = unlabeled_image.shape[0]
+                all_images = jnp.concatenate(
+                    [labeled_image, unlabeled_image, unlabeled_image_tf], 0)
+                (logits_all, taps_all), batch_stats = bundle.apply_train(
+                    params, batch_stats, all_images, taps=taps,
+                    bn_groups=(nl, 2 * nu),
+                    bn_update=(True, not disable_bn))
+                labeled_logits = logits_all[:nl]
+                labeled_taps = {k: v[:nl] for k, v in taps_all.items()}
+                u_logits_all = logits_all[nl:]
+                u_taps_all = {k: v[nl:] for k, v in taps_all.items()}
+            elif two_stage:
                 (labeled_logits, labeled_taps), batch_stats = bundle.apply_train(
                     params, batch_stats, labeled_image, taps=taps)
                 both = jnp.concatenate([unlabeled_image, unlabeled_image_tf], 0)

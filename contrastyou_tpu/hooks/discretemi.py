@@ -67,7 +67,33 @@ class DiscreteMITrainHook(TrainerHook):
         return jax.vmap(lambda a, b: iid_segmentation_loss(
             a, b, padding=self._padding))(p1, p2)
 
+    def _use_merged(self) -> bool:
+        """Dense linear heads route through the MXU-merged formulation
+        (projection + displacement joints in the S*K-lane layout; round-3
+        udaiic optimization, BENCH_NOTES). CONTRASTYOU_IIC_MERGED=0 falls
+        back to the vmapped per-subhead path (the equivalence-test A/B)."""
+        import os
+        return (not self._is_encoder
+                and self._projector.head_type == "linear"
+                and os.environ.get("CONTRASTYOU_IIC_MERGED", "1") != "0")
+
     def loss(self, ctx: StepContext, params, state):
+        if self._use_merged():
+            from ..losses.discrete_mi import iid_segmentation_loss_merged
+            from ..models.projectors import dense_cluster_probs_merged
+            feat = ctx.unlabeled_taps[self._feature_name]
+            feat_tf = ctx.unlabeled_tf_taps[self._feature_name]
+            both = jnp.concatenate([ctx.affine_transformer(feat), feat_tf], 0)
+            pm = dense_cluster_probs_merged(
+                params, both, num_subheads=self._projector.num_subheads,
+                num_clusters=self._projector.num_clusters,
+                T=self._projector.T)
+            B = feat.shape[0]
+            mi = iid_segmentation_loss_merged(
+                pm[:B], pm[B:], num_subheads=self._projector.num_subheads,
+                num_clusters=self._projector.num_clusters,
+                padding=self._padding).mean()
+            return mi, state, {"mi": mi}
         p1, p2 = self._paired_probs(ctx, params)
         mi = self._mi_per_subhead(p1, p2).mean()
         return mi, state, {"mi": mi}

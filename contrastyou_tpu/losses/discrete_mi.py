@@ -17,6 +17,7 @@ import sys
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
+import jax
 from jax import lax
 
 _EPS = sys.float_info.epsilon
@@ -198,3 +199,81 @@ class IMSATLoss:
             return imsat_loss(x_out, lamda=self._lamda)
         return 0.5 * (imsat_loss(x_out, lamda=self._lamda)
                       + imsat_loss(x_tf_out, lamda=self._lamda))
+
+
+def _merged_displacement_joints(p1m: jnp.ndarray, p2m: jnp.ndarray,
+                                S: int, K: int, padding: int) -> jnp.ndarray:
+    """Merged-subhead displacement joints: [B,H,W,S*K] groupwise simplex
+    pair -> raw per-subhead joints [S, T, T, K, K].
+
+    One [S*K, N] x [N, S*K] MXU contraction per displacement (slices of the
+    once-padded view fuse into the matmul; nothing shifted is materialized)
+    — 100/128 output lanes at the reference's S=5, K=20 vs 20/128 for the
+    per-subhead form. The off-diagonal S x S blocks are discarded: ~S x
+    FLOP overhead that measured far cheaper than running S narrow matmuls
+    (round-3 udaiic profile; BENCH_NOTES)."""
+    p = int(padding)
+    t = 2 * p + 1
+    B, H, W, _ = p2m.shape
+    xo = jnp.pad(p1m, ((0, 0), (p, p), (p, p), (0, 0)))
+    rows = []
+    diag = jnp.arange(S)
+    for ty in range(t):
+        cols = []
+        for tx in range(t):
+            sl = lax.slice(xo, (0, ty, tx, 0),
+                           (B, ty + H, tx + W, S * K))
+            m = jnp.einsum("bhwi,bhwj->ij", sl, p2m,
+                           preferred_element_type=jnp.float32)
+            m4 = m.reshape(S, K, S, K)
+            cols.append(m4[diag, :, diag, :])     # [S, K, K] diagonal blocks
+        rows.append(jnp.stack(cols))              # [T, S, K, K]
+    joint = jnp.stack(rows)                       # [T, T, S, K, K]
+    return jnp.transpose(joint, (2, 0, 1, 3, 4))  # [S, T, T, K, K]
+
+
+def iid_segmentation_loss_merged(p1m: jnp.ndarray, p2m: jnp.ndarray, *,
+                                 num_subheads: int, num_clusters: int,
+                                 lamda: float = 1.0, padding: int = 0,
+                                 eps: float = 1e-5, symmetric: bool = False
+                                 ) -> jnp.ndarray:
+    """Per-subhead spatial IIC losses [S] from MERGED probability maps
+    [B, H, W, S*K] — numerically identical to
+    ``vmap(iid_segmentation_loss)`` over the [S, B, H, W, K] form (same
+    joints, same normalization; asserted by test_losses_merged), computed
+    through MXU-efficient merged contractions."""
+    S, K = num_subheads, num_clusters
+    T = padding * 2 + 1
+    if padding > 0:
+        raw = _merged_displacement_joints(p1m, p2m, S, K, padding)
+
+        def normalize(j):
+            j = j - lax.stop_gradient(j.min()) + 1e-8
+            j = j / j.sum(axis=(2, 3), keepdims=True)
+            if symmetric:
+                j = (j + jnp.transpose(j, (0, 1, 3, 2))) / 2.0
+            return j / j.sum()
+
+        p_i_j = jax.vmap(normalize)(raw)
+    else:
+        B, H, W, _ = p1m.shape
+        n = B * H * W
+        a = p1m.reshape(n, S * K) / math.sqrt(n)
+        b = p2m.reshape(n, S * K) / math.sqrt(n)
+        m = jnp.einsum("ni,nj->ij", a, b, preferred_element_type=jnp.float32)
+        m4 = m.reshape(S, K, S, K)
+        diag = jnp.arange(S)
+        p_i_j = m4[diag, :, diag, :]
+        if symmetric:
+            p_i_j = (p_i_j + jnp.transpose(p_i_j, (0, 2, 1))) / 2.0
+        p_i_j = p_i_j[:, None, None]              # [S, 1, 1, K, K]
+
+    def tail(j):
+        p_i_mat = j.sum(axis=2, keepdims=True)
+        p_j_mat = j.sum(axis=3, keepdims=True)
+        loss = -j * (jnp.log(j + eps)
+                     - lamda * jnp.log(p_i_mat + eps)
+                     - lamda * jnp.log(p_j_mat + eps))
+        return loss.sum() / (T * T)
+
+    return jax.vmap(tail)(p_i_j)

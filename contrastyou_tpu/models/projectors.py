@@ -171,3 +171,31 @@ class CrossCorrelationProjector(DenseClusterHead):
     head_type: str = "mlp"
     T: float = 1.0
     normalize: bool = False
+
+
+def dense_cluster_probs_merged(params, features: jnp.ndarray, *,
+                               num_subheads: int, num_clusters: int,
+                               T: float = 1.0) -> jnp.ndarray:
+    """MXU-merged apply of a LINEAR DenseClusterHead: consumes the vmapped
+    param tree (``Vmap_DenseSubHead_0/Conv_0`` kernel [S,1,1,C,K], bias
+    [S,K]) and computes ALL subheads in ONE [N, C] x [C, S*K] matmul,
+    followed by a per-K-group softmax — returns [B, H, W, S*K].
+
+    Why (round-3 udaiic profile): the vmapped per-subhead 1x1 convs put
+    K=20 of 128 output lanes to work (x5 separate matmuls) and materialize
+    [S, 2B, H, W, K] probabilities; the merged layout fills 100/128 lanes
+    and keeps one [B, H, W, S*K] tensor that feeds the merged displacement
+    joints (losses/discrete_mi.compute_joint_2d_merged) directly.
+    Numerically identical to the module apply (same params, same math) —
+    asserted by test_losses_merged."""
+    conv = params["Vmap_DenseSubHead_0"]["Conv_0"]
+    S, K = num_subheads, num_clusters
+    kern = conv["kernel"]                        # [S, 1, 1, C, K]
+    assert kern.shape[0] == S and kern.shape[-1] == K, kern.shape
+    C = kern.shape[-2]
+    w = jnp.transpose(kern.reshape(S, C, K), (1, 0, 2)).reshape(C, S * K)
+    b = conv["bias"].reshape(S * K)
+    logits = features @ w + b                    # [B, H, W, S*K]
+    B, H, W, _ = logits.shape
+    probs = jax.nn.softmax(logits.reshape(B, H, W, S, K) / T, axis=-1)
+    return probs.reshape(B, H, W, S * K)

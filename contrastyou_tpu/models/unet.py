@@ -24,7 +24,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .norm import MXUBatchNorm, use_mxu_bn
+# (MXU-reduction BatchNorm, models/norm.py, was measured slower end-to-end
+# than the convert_reduce fusions it replaced — BENCH_NOTES round-2b — and
+# UpConv now uses the shared functional BN for per-group stats support)
 
 __all__ = ["UNet", "ConvBlock", "UpConv"]
 
@@ -145,6 +147,66 @@ class _BNState(nn.Module):
         return scale, bias, mean, var
 
 
+def _group_slices(B: int, groups: Tuple[int, ...]):
+    offs, out = 0, []
+    for g in groups:
+        out.append((offs, offs + g))
+        offs += g
+    assert offs == B, (groups, B)
+    return out
+
+
+def _bn_relu_groups(module, p, scale, bias, ra_mean, ra_var, *,
+                    train: bool, momentum: float, eps: float,
+                    bn_groups=None, bn_update=None):
+    """BatchNorm + ReLU with optional PER-GROUP batch statistics.
+
+    ``bn_groups``: static tuple of contiguous batch-subset sizes; each
+    subset is normalized with ITS OWN batch statistics, exactly as if the
+    subsets had been run through the layer as separate forwards — this is
+    what makes the fused two-stage semi step (one batch-15 conv pass)
+    bit-equal in semantics to the reference's two sequential passes
+    (epocher.py:339-358 _forward_pass). Running stats receive one EMA
+    update PER GROUP, in group order, gated by ``bn_update`` (the
+    disable_bn knob maps to bn_update=(True, False))."""
+    def upd(mean, var):
+        if module.is_initializing():
+            return
+        m = momentum      # torch convention: new = (1-m)*old + m*batch
+        ra_mean.value = ((1.0 - m) * ra_mean.value
+                         + m * jax.lax.stop_gradient(mean))
+        ra_var.value = ((1.0 - m) * ra_var.value
+                        + m * jax.lax.stop_gradient(var))
+
+    if not train:
+        a = scale * jax.lax.rsqrt(ra_var.value + eps)
+        b = bias - a * ra_mean.value
+        return nn.relu(p * a.astype(p.dtype) + b.astype(p.dtype))
+
+    pf = p.astype(jnp.float32)
+    if bn_groups is None:
+        mean = pf.mean((0, 1, 2))
+        var = jnp.maximum((pf * pf).mean((0, 1, 2)) - mean * mean, 0.0)
+        upd(mean, var)
+        a = scale * jax.lax.rsqrt(var + eps)
+        b = bias - a * mean
+        return nn.relu(p * a.astype(p.dtype) + b.astype(p.dtype))
+
+    bn_update = bn_update or (True,) * len(bn_groups)
+    parts = []
+    for (lo, hi), do_upd in zip(_group_slices(p.shape[0], tuple(bn_groups)),
+                                bn_update):
+        sub = pf[lo:hi]
+        mean = sub.mean((0, 1, 2))
+        var = jnp.maximum((sub * sub).mean((0, 1, 2)) - mean * mean, 0.0)
+        if do_upd:
+            upd(mean, var)
+        a = scale * jax.lax.rsqrt(var + eps)
+        b = bias - a * mean
+        parts.append(p[lo:hi] * a.astype(p.dtype) + b.astype(p.dtype))
+    return nn.relu(jnp.concatenate(parts, axis=0))
+
+
 class ConvBlock(nn.Module):
     """Two 3x3 conv + norm + ReLU (ref: unet.py:16-31 ``_ConvBlock``).
 
@@ -157,7 +219,10 @@ class ConvBlock(nn.Module):
     param/state holders + lax ops) so the same params drive two compute
     paths: the XLA path (flax-BatchNorm-equivalent numerics) and, for the
     eligible wide-spatial stages on TPU, the fused Pallas plane-kernel stage
-    (ops/pallas/convblock.py) — ~2.2x faster measured on-chip."""
+    (ops/pallas/convblock.py) — ~2.2x faster measured on-chip.
+
+    ``bn_groups``/``bn_update``: per-group batch statistics for the fused
+    two-stage step (see :func:`_bn_relu_groups`)."""
     features: int
     momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
     norm: str = "batchnorm"
@@ -165,7 +230,8 @@ class ConvBlock(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, skip=None, *, train: bool = True):
+    def __call__(self, x, skip=None, *, train: bool = True,
+                 bn_groups=None, bn_update=None):
         if self.norm != "batchnorm":
             return self._groupnorm_path(x, skip, train)
         cin = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
@@ -177,11 +243,17 @@ class ConvBlock(nn.Module):
         if train and use_pallas_stage(self.features, self.dtype,
                                       (x.shape[1], x.shape[2]), cmax=cin):
             from ..ops.pallas.convblock import convblock_stage
-            out, (mu0, va0, mu1, va1) = convblock_stage(
+            out, (g_mv0, g_mv1) = convblock_stage(
                 x, skip, k0.astype(self.dtype), k1.astype(self.dtype),
-                (s0, b0), (s1, b1), eps=self.eps, dtype=self.dtype)
-            self._update_running(m0, v0, mu0, va0)
-            self._update_running(m1, v1, mu1, va1)
+                (s0, b0), (s1, b1), eps=self.eps, dtype=self.dtype,
+                bn_groups=tuple(bn_groups) if bn_groups else None)
+            upd = bn_update or (True,) * len(g_mv0)
+            for (mu, va), do_upd in zip(g_mv0, upd):
+                if do_upd:
+                    self._update_running(m0, v0, mu, va)
+            for (mu, va), do_upd in zip(g_mv1, upd):
+                if do_upd:
+                    self._update_running(m1, v1, mu, va)
             return out
 
         # XLA path (flax-equivalent numerics)
@@ -199,22 +271,16 @@ class ConvBlock(nn.Module):
             return y
 
         p0 = conv(x, k0, skip)
-        h0 = self._bn_relu(p0, s0, b0, m0, v0, train)
+        h0 = self._bn_relu(p0, s0, b0, m0, v0, train, bn_groups, bn_update)
         p1 = conv(h0, k1)
-        return self._bn_relu(p1, s1, b1, m1, v1, train)
+        return self._bn_relu(p1, s1, b1, m1, v1, train, bn_groups, bn_update)
 
-    def _bn_relu(self, p, scale, bias, ra_mean, ra_var, train):
-        if train:
-            pf = p.astype(jnp.float32)
-            mean = pf.mean((0, 1, 2))
-            var = jnp.maximum((pf * pf).mean((0, 1, 2)) - mean * mean, 0.0)
-            self._update_running(ra_mean, ra_var, mean, var)
-        else:
-            mean, var = ra_mean.value, ra_var.value
-        a = scale * jax.lax.rsqrt(var + self.eps)
-        b = bias - a * mean
-        y = p * a.astype(p.dtype) + b.astype(p.dtype)
-        return nn.relu(y)
+    def _bn_relu(self, p, scale, bias, ra_mean, ra_var, train,
+                 bn_groups=None, bn_update=None):
+        return _bn_relu_groups(self, p, scale, bias, ra_mean, ra_var,
+                               train=train, momentum=self.momentum,
+                               eps=self.eps, bn_groups=bn_groups,
+                               bn_update=bn_update)
 
     def _update_running(self, ra_mean, ra_var, mean, var):
         if self.is_initializing():
@@ -257,25 +323,30 @@ class _UpsampledConv(nn.Module):
 
 
 class UpConv(nn.Module):
-    """2x nearest upsample + 3x3 conv + norm + ReLU (ref: unet.py:34-47)."""
+    """2x nearest upsample + 3x3 conv + norm + ReLU (ref: unet.py:34-47).
+
+    The BN is the same explicit functional form as ConvBlock's (tree-
+    identical to ``nn.BatchNorm(name="bn")``) so it supports the per-group
+    batch statistics of the fused two-stage step."""
     features: int
     momentum: float = 0.1
     norm: str = "batchnorm"
     dtype: jnp.dtype = jnp.bfloat16
+    eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, *, train: bool = True):
+    def __call__(self, x, *, train: bool = True, bn_groups=None,
+                 bn_update=None):
         # one fused upsample+conv; param tree identical to
         # nn.Conv(features, (3,3), use_bias=False, name="conv")
         x = _UpsampledConv(self.features, dtype=self.dtype, name="conv")(x)
         if self.norm == "batchnorm":
-            cls = MXUBatchNorm if use_mxu_bn(self.features) else nn.BatchNorm
-            x = cls(use_running_average=not train,
-                    momentum=1.0 - self.momentum, dtype=self.dtype,
-                    name="bn")(x)
-        else:
-            x = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype,
-                             name="gn")(x)
+            s, b, m, v = _BNState(self.features, name="bn")()
+            return _bn_relu_groups(self, x, s, b, m, v, train=train,
+                                   momentum=self.momentum, eps=self.eps,
+                                   bn_groups=bn_groups, bn_update=bn_update)
+        x = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype,
+                         name="gn")(x)
         return nn.relu(x)
 
 
@@ -324,14 +395,25 @@ class UNet(nn.Module):
         self.Deconv_1x1 = nn.Conv(self.num_classes, (1, 1), padding="VALID",
                                   dtype=self.dtype, name="Deconv_1x1")
 
+    #: build_train_step may fuse the two-stage semi forward into one pass
+    #: with per-group BN statistics (see _bn_relu_groups)
+    supports_bn_groups = True
+
     def __call__(self, x: jnp.ndarray, *, until: Optional[str] = None,
-                 taps: Sequence[str] = (), train: bool = True
+                 taps: Sequence[str] = (), train: bool = True,
+                 bn_groups: Optional[Tuple[int, ...]] = None,
+                 bn_update: Optional[Tuple[bool, ...]] = None
                  ) -> Tuple[jnp.ndarray, dict]:
         """Forward over NHWC input. ``until``/``taps`` are static layer names.
 
         Returns ``(out, tap_dict)`` where ``out`` is the activation at ``until``
         (or logits) cast to f32, and ``tap_dict`` maps each requested tap name to
         its f32 activation. (ref: unet.py:105-177 partial forward semantics.)
+
+        ``bn_groups``/``bn_update`` (static): contiguous batch-subset sizes
+        whose BN statistics are computed independently — one fused conv pass
+        with the exact semantics of per-subset forwards (the reference's
+        two-stage, epocher.py:339-358).
         """
         taps = tuple(taps)
         for t in taps:
@@ -347,33 +429,36 @@ class UNet(nn.Module):
                 collected[name] = value.astype(jnp.float32)
             return until == name
 
+        kw = dict(train=train,
+                  bn_groups=tuple(bn_groups) if bn_groups else None,
+                  bn_update=tuple(bn_update) if bn_update else None)
         x = x.astype(self.dtype)
-        e1 = self.Conv1(x, train=train)
+        e1 = self.Conv1(x, **kw)
         if emit("Conv1", e1):
             return e1.astype(jnp.float32), collected
-        e2 = self.Conv2(nn.max_pool(e1, (2, 2), (2, 2)), train=train)
+        e2 = self.Conv2(nn.max_pool(e1, (2, 2), (2, 2)), **kw)
         if emit("Conv2", e2):
             return e2.astype(jnp.float32), collected
-        e3 = self.Conv3(nn.max_pool(e2, (2, 2), (2, 2)), train=train)
+        e3 = self.Conv3(nn.max_pool(e2, (2, 2), (2, 2)), **kw)
         if emit("Conv3", e3):
             return e3.astype(jnp.float32), collected
-        e4 = self.Conv4(nn.max_pool(e3, (2, 2), (2, 2)), train=train)
+        e4 = self.Conv4(nn.max_pool(e3, (2, 2), (2, 2)), **kw)
         if emit("Conv4", e4):
             return e4.astype(jnp.float32), collected
-        e5 = self.Conv5(nn.max_pool(e4, (2, 2), (2, 2)), train=train)
+        e5 = self.Conv5(nn.max_pool(e4, (2, 2), (2, 2)), **kw)
         if emit("Conv5", e5):
             return e5.astype(jnp.float32), collected
 
-        d5 = self.Up_conv5(self.Up5(e5, train=train), skip=e4, train=train)
+        d5 = self.Up_conv5(self.Up5(e5, **kw), skip=e4, **kw)
         if emit("Up_conv5", d5):
             return d5.astype(jnp.float32), collected
-        d4 = self.Up_conv4(self.Up4(d5, train=train), skip=e3, train=train)
+        d4 = self.Up_conv4(self.Up4(d5, **kw), skip=e3, **kw)
         if emit("Up_conv4", d4):
             return d4.astype(jnp.float32), collected
-        d3 = self.Up_conv3(self.Up3(d4, train=train), skip=e2, train=train)
+        d3 = self.Up_conv3(self.Up3(d4, **kw), skip=e2, **kw)
         if emit("Up_conv3", d3):
             return d3.astype(jnp.float32), collected
-        d2 = self.Up_conv2(self.Up2(d3, train=train), skip=e1, train=train)
+        d2 = self.Up_conv2(self.Up2(d3, **kw), skip=e1, **kw)
         if emit("Up_conv2", d2):
             return d2.astype(jnp.float32), collected
 

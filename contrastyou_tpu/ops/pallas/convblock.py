@@ -356,8 +356,14 @@ def bn_affine(stats_sum: jnp.ndarray, stats_sqsum: jnp.ndarray, count: float,
 def apply_bn_relu_planes(xp: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
                          mask: jnp.ndarray) -> jnp.ndarray:
     """Final-layer BN+ReLU on planes in plain XLA (the plane layout tiles
-    cleanly, so XLA elementwise is already efficient here)."""
-    h = xp.astype(jnp.float32) * a[None, :, None] + b[None, :, None]
+    cleanly, so XLA elementwise is already efficient here). ``a``/``b`` are
+    [C] (whole-batch stats) or [B, C] (per-group stats broadcast to
+    samples)."""
+    if a.ndim == 1:
+        a, b = a[None, :, None], b[None, :, None]
+    else:
+        a, b = a[:, :, None], b[:, :, None]
+    h = xp.astype(jnp.float32) * a + b
     h = jnp.maximum(h, 0.0)
     return jnp.where(mask[None] > 0, h, 0.0).astype(xp.dtype)
 
@@ -417,17 +423,55 @@ def masked_stats(p: jnp.ndarray, mask: jnp.ndarray, count: float):
     return mean, var
 
 
+def masked_stats_per_sample(p: jnp.ndarray, mask: jnp.ndarray):
+    """Masked per-(sample, channel) (sum, sumsq) of planes — the group-wise
+    stats of the fused two-stage step are slices-sums of these."""
+    v = jnp.where(mask[None] > 0, p.astype(jnp.float32), 0.0)
+    return v.sum(2), (v * v).sum(2)                         # each [B, C]
+
+
+def _group_mv(ssum: jnp.ndarray, ssq: jnp.ndarray, groups, hw: int):
+    """Per-batch sums [B, C] -> [(mean, var)] per contiguous group."""
+    out, lo = [], 0
+    for g in groups:
+        cnt = float(g * hw)
+        mean = ssum[lo:lo + g].sum(0) / cnt
+        var = jnp.maximum(ssq[lo:lo + g].sum(0) / cnt - mean * mean, 0.0)
+        out.append((mean, var))
+        lo += g
+    return out
+
+
+def _broadcast_affine(mvs, scale, bias, groups, eps):
+    """[(mean, var)] per group -> per-sample (a, b) [B, C] plus the list of
+    per-group (a, b) (for in-kernel use)."""
+    a_rows, b_rows = [], []
+    for (mean, var), g in zip(mvs, groups):
+        a = scale * jax.lax.rsqrt(var + eps)
+        b = bias - a * mean
+        a_rows.append(jnp.broadcast_to(a, (g, a.shape[0])))
+        b_rows.append(jnp.broadcast_to(b, (g, b.shape[0])))
+    return jnp.concatenate(a_rows, 0), jnp.concatenate(b_rows, 0)
+
+
 def convblock_stage(x: jnp.ndarray, skip: Optional[jnp.ndarray],
                     k0: jnp.ndarray, k1: jnp.ndarray,
                     affine0: Tuple[jnp.ndarray, jnp.ndarray],
                     affine1: Tuple[jnp.ndarray, jnp.ndarray],
-                    *, eps: float = 1e-5, dtype=jnp.bfloat16):
+                    *, eps: float = 1e-5, dtype=jnp.bfloat16,
+                    bn_groups: Optional[Tuple[int, ...]] = None):
     """Full ConvBlock (conv0[+skip split] -> BN -> ReLU -> conv1 -> BN ->
     ReLU) on planes, batch-statistics mode. Fully differentiable: the convs
     are Pallas (custom VJP), the BN/ReLU/stat glue is XLA on plane layouts.
 
-    Returns (out NHWC in ``dtype``, (mean0, var0, mean1, var1) f32) — the
-    batch stats feed the caller's running-average update.
+    ``bn_groups``: optional contiguous batch-subset sizes — each subset is
+    normalized with its OWN batch statistics (the fused two-stage step);
+    the kernel's per-(batch, block) stat partials make the group reduction
+    free (slice-sums of the same [B, C] tensor).
+
+    Returns (out NHWC in ``dtype``, (g_mv0, g_mv1)) where each g_mv is a
+    list of per-group (mean, var) f32 pairs (length 1 without groups) —
+    they feed the caller's running-average updates.
 
     ``skip`` reproduces ConvBlock(skip=...): conv0 acts on
     ``concat([skip, x], -1)`` via two plane convs on slices of ``k0``.
@@ -440,7 +484,8 @@ def convblock_stage(x: jnp.ndarray, skip: Optional[jnp.ndarray],
                skip.shape[-1] if skip is not None else 0)
     geo = pick_geometry(H, W, cmax, jnp.dtype(dtype).itemsize)
     mask = border_mask(H, W, geo)
-    count = float(B * H * W)
+    groups = tuple(bn_groups) if bn_groups else (B,)
+    hw = H * W
     xp = to_planes(x, dtype, geo)
     if skip is not None:
         # conv over concat = sum of two convs; stats of the SUM are not the
@@ -449,23 +494,17 @@ def convblock_stage(x: jnp.ndarray, skip: Optional[jnp.ndarray],
         sp = to_planes(skip, dtype, geo)
         p0 = (plane_conv(sp, k0[:, :, :cs], mask, H, W, geo)
               + plane_conv(xp, k0[:, :, cs:], mask, H, W, geo)).astype(dtype)
-        mean0, var0 = masked_stats(p0, mask, count)
+        s0, sq0 = masked_stats_per_sample(p0, mask)
     else:
         p0, s0, sq0 = plane_conv_stats(xp, k0, mask, H, W, geo)
-        mean0 = s0 / count
-        var0 = jnp.maximum(sq0 / count - mean0 * mean0, 0.0)
-    scale0, bias0 = affine0
-    a0 = scale0 * jax.lax.rsqrt(var0 + eps)
-    b0 = bias0 - a0 * mean0
+    mv0 = _group_mv(s0, sq0, groups, hw)
+    a0, b0 = _broadcast_affine(mv0, affine0[0], affine0[1], groups, eps)
     h0 = apply_bn_relu_planes(p0, a0, b0, mask)
     p1, s1, sq1 = plane_conv_stats(h0, k1, mask, H, W, geo)
-    mean1 = s1 / count
-    var1 = jnp.maximum(sq1 / count - mean1 * mean1, 0.0)
-    scale1, bias1 = affine1
-    a1 = scale1 * jax.lax.rsqrt(var1 + eps)
-    b1 = bias1 - a1 * mean1
+    mv1 = _group_mv(s1, sq1, groups, hw)
+    a1, b1 = _broadcast_affine(mv1, affine1[0], affine1[1], groups, eps)
     h1 = apply_bn_relu_planes(p1, a1, b1, mask)
-    return from_planes(h1, H, W, geo), (mean0, var0, mean1, var1)
+    return from_planes(h1, H, W, geo), (mv0, mv1)
 
 
 # --- conv WITH the kernel's free stat partials (differentiable) ---------
@@ -473,15 +512,16 @@ def convblock_stage(x: jnp.ndarray, skip: Optional[jnp.ndarray],
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def plane_conv_stats(xp: jnp.ndarray, kernel: jnp.ndarray, mask: jnp.ndarray,
                      H: int, W: int, geo: Optional[PlaneGeo] = None):
-    """Like :func:`plane_conv` but also returns the masked per-channel
-    (sum, sum-of-squares) of the output — taken from the kernel's per-block
-    partials, which are computed in-VMEM for free, instead of a separate
-    XLA reduce over the [B, C, Lbuf] planes (one full memory pass saved per
-    statistic per layer)."""
+    """Like :func:`plane_conv` but also returns the masked PER-SAMPLE
+    per-channel (sum, sum-of-squares) [B, C] of the output — taken from the
+    kernel's per-block partials, which are computed in-VMEM for free,
+    instead of a separate XLA reduce over the [B, C, Lbuf] planes (one full
+    memory pass saved per statistic per layer). Per-sample (not whole-batch)
+    so the fused two-stage step can slice group statistics for free."""
     out, part = conv_plane_geo(xp, fold_kernel(kernel), mask, H, W, geo=geo)
     out = jnp.where(mask[None] > 0, out, 0).astype(xp.dtype)
-    s = part.sum((0, 1))                                    # [2, C] f32
-    return out, s[0], s[1]
+    s = part.sum(1)                                         # [B, 2, C] f32
+    return out, s[:, 0], s[:, 1]
 
 
 def _pcs_fwd(xp, kernel, mask, H, W, geo):
@@ -491,13 +531,13 @@ def _pcs_fwd(xp, kernel, mask, H, W, geo):
 
 def _pcs_bwd(H, W, geo, res, cot):
     xp, kernel, mask, out = res
-    g_out, g_s, g_sq = cot
+    g_out, g_s, g_sq = cot                       # g_s/g_sq are [B, C]
     # d(sum)/d(out) = mask ; d(sumsq)/d(out) = 2*out*mask — fold both into
     # the output cotangent, then reuse the pure-conv backward.
     g = (g_out.astype(jnp.float32)
-         + mask[None] * (g_s[None, :, None]
+         + mask[None] * (g_s[:, :, None]
                          + 2.0 * out.astype(jnp.float32)
-                         * g_sq[None, :, None]))
+                         * g_sq[:, :, None]))
     dxp, dk, _ = _plane_conv_bwd(H, W, geo, (xp, kernel, mask), g)
     return dxp, dk, None
 

@@ -119,19 +119,14 @@ def main():
            DiscreteMITrainHook(name="iic", feature_name="Up_conv2",
                                weight=0.1, num_clusters=20, num_subheads=5,
                                padding=1)]
-    timed("consistency-only step", *build_step(cons))
-    tdir = os.environ.get("CONTRASTYOU_TRACE_DIR")
-    chain, st = build_step(iic)
-    if tdir:
-        st = chain(st)          # compile+warm outside the trace
-        float(st[1])
-        jax.profiler.start_trace(tdir)
-        st = chain(st)
-        float(st[1])
-        jax.profiler.stop_trace()
-        print(f"trace written to {tdir}")
-    timed("udaiic step (cons+iic)", chain, st)
-    timed("isolated dense pipeline", *dense_pipeline())
+    for fused in ("0", "1"):
+        os.environ["CONTRASTYOU_FUSED_TWOSTAGE"] = fused
+        tag = "fused" if fused == "1" else "2pass"
+        timed(f"consistency step [{tag}]", *build_step(cons))
+        for merged in ("0", "1"):
+            os.environ["CONTRASTYOU_IIC_MERGED"] = merged
+            mtag = "merged" if merged == "1" else "vmapped"
+            timed(f"udaiic step [{tag},{mtag}]", *build_step(iic))
 
 
 if __name__ == "__main__":
