@@ -68,11 +68,13 @@ def build_train_step(bundle: ModelBundle, optimizer,
     import os
     # fused two-stage: one batch-(nl+2*nu) conv pass with per-group BN
     # statistics — identical semantics, full sublane tiling (see below).
-    # Requires model support; CONTRASTYOU_FUSED_TWOSTAGE=0 falls back to
-    # the two sequential passes (the A/B + equivalence-test path).
+    # MEASURED WORSE on-chip than the two sequential passes (66.8 vs 58.6
+    # ms/step consistency, 131.0 vs 120.1 udaiic at batch 8+8 even with the
+    # broadcast-affine per-group BN apply) — default OFF; opt in with
+    # CONTRASTYOU_FUSED_TWOSTAGE=1 (equivalence: tests/test_fused_twostage.py).
     fuse_two_stage = (
         getattr(bundle.model, "supports_bn_groups", False)
-        and os.environ.get("CONTRASTYOU_FUSED_TWOSTAGE", "1") != "0")
+        and os.environ.get("CONTRASTYOU_FUSED_TWOSTAGE", "0") == "1")
 
     def loss_fn(trainables, batch_stats, hook_states, batch, rng, epoch):
         params, hook_params = trainables

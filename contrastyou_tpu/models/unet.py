@@ -193,9 +193,10 @@ def _bn_relu_groups(module, p, scale, bias, ra_mean, ra_var, *,
         return nn.relu(p * a.astype(p.dtype) + b.astype(p.dtype))
 
     bn_update = bn_update or (True,) * len(bn_groups)
-    parts = []
-    for (lo, hi), do_upd in zip(_group_slices(p.shape[0], tuple(bn_groups)),
-                                bn_update):
+    a_rows, b_rows = [], []
+    for ((lo, hi), do_upd), g in zip(
+            zip(_group_slices(p.shape[0], tuple(bn_groups)), bn_update),
+            bn_groups):
         sub = pf[lo:hi]
         mean = sub.mean((0, 1, 2))
         var = jnp.maximum((sub * sub).mean((0, 1, 2)) - mean * mean, 0.0)
@@ -203,8 +204,14 @@ def _bn_relu_groups(module, p, scale, bias, ra_mean, ra_var, *,
             upd(mean, var)
         a = scale * jax.lax.rsqrt(var + eps)
         b = bias - a * mean
-        parts.append(p[lo:hi] * a.astype(p.dtype) + b.astype(p.dtype))
-    return nn.relu(jnp.concatenate(parts, axis=0))
+        a_rows.append(jnp.broadcast_to(a, (g, a.shape[0])))
+        b_rows.append(jnp.broadcast_to(b, (g, b.shape[0])))
+    # per-sample [B, C] affine (tiny) applied as ONE fused elementwise —
+    # concatenating normalized activation slices instead cost ~11 ms/step
+    # of extra memory passes (round-3 probe)
+    a_ps = jnp.concatenate(a_rows, 0).astype(p.dtype)[:, None, None, :]
+    b_ps = jnp.concatenate(b_rows, 0).astype(p.dtype)[:, None, None, :]
+    return nn.relu(p * a_ps + b_ps)
 
 
 class ConvBlock(nn.Module):
