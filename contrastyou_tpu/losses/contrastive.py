@@ -9,8 +9,9 @@ Capability match for contrastyou/losses/contrastive.py:23-212:
 
 TPU notes: the core is one [2N, d] x [d, 2N] matmul (MXU) + masked
 log-sum-exp; gamma is a traced scalar so epoch-ramped schedules don't retrace.
-The fused Pallas path (ops/pallas/infonce.py) plugs in under the same API for
-large 2N. Aux tensors (sim logits, masks) are returned for TB visualization
+The fused Pallas path (ops/pallas/infonce.py) plugs in under the same API at
+small anchor counts, where it measured 1.2-1.9x on-chip (see
+FUSED_MAX_ANCHORS). Aux tensors (sim logits, masks) are returned for TB visualization
 instead of being stashed on the loss object.
 """
 from __future__ import annotations
@@ -47,9 +48,14 @@ def _expand_masks(pos_mask, neg_mask, n: int):
     return pos * off_diag, neg * off_diag
 
 
-#: anchors >= this threshold route through the fused Pallas kernel on TPU
-#: (below it the eager path is already one small fused matmul)
-FUSED_MIN_ANCHORS = 512
+#: anchors <= this threshold route through the fused Pallas kernel on TPU.
+#: On-chip A/B (tools/scripts_perf_supcon.py, value+grad, donated chained
+#: state): fused wins at SMALL anchor counts — 1.87x at 2N=100 (the
+#: production contrastive batch, PRETRAIN_BATCH_SIZE_MAX=50) and 1.24x at
+#: 2N=256 — while the eager single-matmul path wins in the 512..2048 band
+#: (0.68-0.91x) and the fused backward VMEM-OOMs at 2N=8192. The original
+#: ">= 512" gate had the crossover inverted and never fired in production.
+FUSED_MAX_ANCHORS = 256
 
 
 def _tpu_backend() -> bool:
@@ -64,7 +70,8 @@ def sup_con_loss(proj_feat1: jnp.ndarray, proj_feat2: jnp.ndarray, *,
                  return_aux: bool = False, fused: Optional[bool] = None):
     """proj_feat{1,2}: [N, d], L2-normalized. Returns scalar loss
     (+ aux dict when return_aux). ``fused`` selects the Pallas streaming
-    kernel (ops/pallas/infonce.py); default: auto for large batches on TPU."""
+    kernel (ops/pallas/infonce.py); default: auto on TPU for small anchor
+    counts (2N <= FUSED_MAX_ANCHORS), where it measured faster on-chip."""
     n = proj_feat1.shape[0]
     if mask is not None:
         pos_mask = (mask == 1).astype(jnp.float32)
@@ -74,7 +81,7 @@ def sup_con_loss(proj_feat1: jnp.ndarray, proj_feat2: jnp.ndarray, *,
     pos_mask, neg_mask = _expand_masks(pos_mask, neg_mask, n)
 
     if fused is None:
-        fused = (2 * n >= FUSED_MIN_ANCHORS and not return_aux
+        fused = (2 * n <= FUSED_MAX_ANCHORS and not return_aux
                  and not exclude_other_pos and _tpu_backend())
     if fused:
         from ..ops.pallas import fused_sup_con_loss

@@ -60,14 +60,20 @@ def timed(chain, state):
 
 def main():
     assert jax.default_backend() == "tpu", jax.default_backend()
-    print(f"{'anchors 2N':>10} {'eager ms':>9} {'fused ms':>9} {'ratio':>6}")
+    print(f"{'anchors 2N':>10} {'eager ms':>9} {'fused ms':>9} {'ratio':>6}",
+          flush=True)
     for n in (50, 128, 256, 512, 1024, 2048, 4096):
         per = {}
         for fused in (False, True):
-            chain, state = build(n, fused)
-            per[fused] = timed(chain, state)
+            try:
+                chain, state = build(n, fused)
+                per[fused] = timed(chain, state)
+            except Exception as e:  # e.g. VMEM OOM in the fused backward
+                print(f"{2 * n:>10} [{'fused' if fused else 'eager'}] FAILED:"
+                      f" {str(e).splitlines()[0][:120]}", flush=True)
+                per[fused] = float("nan")
         print(f"{2 * n:>10} {per[False] * 1e3:>9.3f} {per[True] * 1e3:>9.3f}"
-              f" {per[False] / per[True]:>6.2f}x")
+              f" {per[False] / per[True]:>6.2f}x", flush=True)
 
 
 if __name__ == "__main__":
