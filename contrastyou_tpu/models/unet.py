@@ -238,22 +238,33 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip=None, *, train: bool = True,
-                 bn_groups=None, bn_update=None):
+                 bn_groups=None, bn_update=None,
+                 plane_info: Optional[Tuple[int, int]] = None,
+                 skip_is_plane: bool = False, plane_out: bool = False):
+        plane_io = (plane_info is not None or skip_is_plane or plane_out)
         if self.norm != "batchnorm":
+            assert not plane_io, "plane IO requires the batchnorm pallas path"
             return self._groupnorm_path(x, skip, train)
-        cin = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
+        cin_x = x.shape[1] if plane_info is not None else x.shape[-1]
+        cin_s = ((skip.shape[1] if skip_is_plane else skip.shape[-1])
+                 if skip is not None else 0)
+        cin = cin_x + cin_s
         k0 = _Kernel((3, 3, cin, self.features), name="conv0")()
         s0, b0, m0, v0 = _BNState(self.features, name="bn0")()
         k1 = _Kernel((3, 3, self.features, self.features), name="conv1")()
         s1, b1, m1, v1 = _BNState(self.features, name="bn1")()
 
+        spatial = (plane_info if plane_info is not None
+                   else (x.shape[1], x.shape[2]))
         if train and use_pallas_stage(self.features, self.dtype,
-                                      (x.shape[1], x.shape[2]), cmax=cin):
+                                      spatial, cmax=cin):
             from ..ops.pallas.convblock import convblock_stage
             out, (g_mv0, g_mv1) = convblock_stage(
                 x, skip, k0.astype(self.dtype), k1.astype(self.dtype),
                 (s0, b0), (s1, b1), eps=self.eps, dtype=self.dtype,
-                bn_groups=tuple(bn_groups) if bn_groups else None)
+                bn_groups=tuple(bn_groups) if bn_groups else None,
+                plane_info=plane_info, skip_is_plane=skip_is_plane,
+                plane_out=plane_out)
             upd = bn_update or (True,) * len(g_mv0)
             for (mu, va), do_upd in zip(g_mv0, upd):
                 if do_upd:
@@ -262,6 +273,10 @@ class ConvBlock(nn.Module):
                 if do_upd:
                     self._update_running(m1, v1, mu, va)
             return out
+        assert not plane_io, (
+            "plane IO flags passed to a ConvBlock that did not route to the "
+            "pallas stage — the UNet chaining plan is out of sync with "
+            "use_pallas_stage")
 
         # XLA path (flax-equivalent numerics)
         def conv(h, k, hskip=None):
@@ -313,6 +328,34 @@ class ConvBlock(nn.Module):
         x = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype,
                          name="gn1")(x)
         return nn.relu(x)
+
+
+class _Deconv1x1(nn.Module):
+    """1x1 conv head, param-tree identical to
+    ``nn.Conv(features, (1, 1), padding="VALID")`` (params kernel/bias, same
+    init), with an extra PLANE input path: when the producing decoder stage
+    stays in the Pallas plane layout, the class projection runs as one
+    [B, C, L] x [C, K] einsum IN plane layout and the final
+    channel<->spatial transpose moves only ``K`` (=num_classes) channels
+    instead of the stage width (from_planes at 4 vs 32 channels)."""
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, plane_info=None):
+        cin = x.shape[1] if plane_info is not None else x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        if plane_info is None:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
+                "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + bias.astype(y.dtype)
+        from ..ops.pallas.convblock import conv1x1_from_planes
+        H, W, geo = plane_info
+        return conv1x1_from_planes(x, kernel[0, 0], bias, H, W, geo)
 
 
 class _UpsampledConv(nn.Module):
@@ -399,8 +442,8 @@ class UNet(nn.Module):
         self.Up_conv3 = ConvBlock(cd("Up_conv3"), **kw)
         self.Up2 = UpConv(cd("Up_conv2"), **kw)
         self.Up_conv2 = ConvBlock(cd("Up_conv2"), **kw)
-        self.Deconv_1x1 = nn.Conv(self.num_classes, (1, 1), padding="VALID",
-                                  dtype=self.dtype, name="Deconv_1x1")
+        self.Deconv_1x1 = _Deconv1x1(self.num_classes, dtype=self.dtype,
+                                     name="Deconv_1x1")
 
     #: build_train_step may fuse the two-stage semi forward into one pass
     #: with per-group BN statistics (see _bn_relu_groups)
@@ -440,13 +483,62 @@ class UNet(nn.Module):
                   bn_groups=tuple(bn_groups) if bn_groups else None,
                   bn_update=tuple(bn_update) if bn_update else None)
         x = x.astype(self.dtype)
-        e1 = self.Conv1(x, **kw)
-        if emit("Conv1", e1):
+
+        # ---- static plane-chaining plan (round 3) ----------------------
+        # The wide shallow levels route through the Pallas plane stage; when
+        # producer AND consumer are both plane stages the NHWC round-trip
+        # between them (channel<->spatial transposes, ~4 ms/step in the
+        # round-2b trace) is replaced by lane-local plane ops: plane-layout
+        # max-pool between Conv1->Conv2, direct plane reuse of e1/e2 as the
+        # Up_conv2/Up_conv3 skips, pooled-then-transposed NHWC into Conv3,
+        # and a plane-layout Deconv_1x1. Any tap/`until` on a chained layer
+        # statically disables that link (taps stay f32 NHWC).
+        from ..ops.pallas.convblock import (from_planes, plane_maxpool,
+                                            plane_maxpool_to_nhwc,
+                                            stage_geometry)
+        B, H, W, Cin = x.shape
+        H2, W2 = H // 2, W // 2
+        bn = self.norm == "batchnorm"
+        c1, c2 = self.get_channel_dim("Conv1"), self.get_channel_dim("Conv2")
+        cu3, cu2 = (self.get_channel_dim("Up_conv3"),
+                    self.get_channel_dim("Up_conv2"))
+
+        r1 = (bn and train
+              and use_pallas_stage(c1, self.dtype, (H, W), cmax=Cin))
+        r2 = (bn and train and H % 2 == 0 and W % 2 == 0
+              and use_pallas_stage(c2, self.dtype, (H2, W2), cmax=c1))
+        ru3 = (bn and train
+               and use_pallas_stage(cu3, self.dtype, (H2, W2), cmax=cu3 + c2))
+        ru2 = (bn and train
+               and use_pallas_stage(cu2, self.dtype, (H, W), cmax=cu2 + c1))
+        g1 = stage_geometry(H, W, Cin, c1, 0, self.dtype) if r1 else None
+        g2 = stage_geometry(H2, W2, c1, c2, 0, self.dtype) if r2 else None
+
+        import os
+        chain_ok = os.environ.get("CONTRASTYOU_PLANE_CHAIN", "") != "0"
+        p1 = (chain_ok and r1 and H % 2 == 0 and W % 2 == 0
+              and "Conv1" not in taps and until != "Conv1")
+        p2 = (chain_ok and r2 and H2 % 2 == 0 and W2 % 2 == 0
+              and "Conv2" not in taps and until != "Conv2")
+
+        # ---- encoder ---------------------------------------------------
+        e1 = self.Conv1(x, plane_out=p1, **kw)          # planes iff p1
+        if not p1 and emit("Conv1", e1):
             return e1.astype(jnp.float32), collected
-        e2 = self.Conv2(nn.max_pool(e1, (2, 2), (2, 2)), **kw)
-        if emit("Conv2", e2):
+        if p1:
+            x2 = (plane_maxpool(e1, H, W, g1, g2) if r2
+                  else plane_maxpool_to_nhwc(e1, H, W, g1))
+            x2_planes = r2
+        else:
+            x2 = nn.max_pool(e1, (2, 2), (2, 2))
+            x2_planes = False
+        e2 = self.Conv2(x2, plane_info=(H2, W2) if x2_planes else None,
+                        plane_out=p2, **kw)             # planes iff p2
+        if not p2 and emit("Conv2", e2):
             return e2.astype(jnp.float32), collected
-        e3 = self.Conv3(nn.max_pool(e2, (2, 2), (2, 2)), **kw)
+        x3 = (plane_maxpool_to_nhwc(e2, H2, W2, g2) if p2
+              else nn.max_pool(e2, (2, 2), (2, 2)))
+        e3 = self.Conv3(x3, **kw)
         if emit("Conv3", e3):
             return e3.astype(jnp.float32), collected
         e4 = self.Conv4(nn.max_pool(e3, (2, 2), (2, 2)), **kw)
@@ -456,19 +548,41 @@ class UNet(nn.Module):
         if emit("Conv5", e5):
             return e5.astype(jnp.float32), collected
 
+        # ---- decoder ---------------------------------------------------
         d5 = self.Up_conv5(self.Up5(e5, **kw), skip=e4, **kw)
         if emit("Up_conv5", d5):
             return d5.astype(jnp.float32), collected
         d4 = self.Up_conv4(self.Up4(d5, **kw), skip=e3, **kw)
         if emit("Up_conv4", d4):
             return d4.astype(jnp.float32), collected
-        d3 = self.Up_conv3(self.Up3(d4, **kw), skip=e2, **kw)
+
+        skip3_plane = (p2 and ru3
+                       and g2 == stage_geometry(H2, W2, cu3, cu3, c2,
+                                                self.dtype))
+        if p2 and not skip3_plane:
+            e2 = from_planes(e2, H2, W2, g2)
+        d3 = self.Up_conv3(self.Up3(d4, **kw), skip=e2,
+                           skip_is_plane=skip3_plane, **kw)
         if emit("Up_conv3", d3):
             return d3.astype(jnp.float32), collected
-        d2 = self.Up_conv2(self.Up2(d3, **kw), skip=e1, **kw)
-        if emit("Up_conv2", d2):
+
+        skip2_plane = (p1 and ru2
+                       and g1 == stage_geometry(H, W, cu2, cu2, c1,
+                                                self.dtype))
+        if p1 and not skip2_plane:
+            e1 = from_planes(e1, H, W, g1)
+        pu2 = (chain_ok and ru2 and "Up_conv2" not in taps
+               and until != "Up_conv2")
+        d2 = self.Up_conv2(self.Up2(d3, **kw), skip=e1,
+                           skip_is_plane=skip2_plane, plane_out=pu2, **kw)
+        if not pu2 and emit("Up_conv2", d2):
             return d2.astype(jnp.float32), collected
 
-        logits = self.Deconv_1x1(d2).astype(jnp.float32)
+        if pu2:
+            gu2 = stage_geometry(H, W, cu2, cu2, c1, self.dtype)
+            logits = self.Deconv_1x1(
+                d2, plane_info=(H, W, gu2)).astype(jnp.float32)
+        else:
+            logits = self.Deconv_1x1(d2).astype(jnp.float32)
         emit("Deconv_1x1", logits)
         return logits, collected

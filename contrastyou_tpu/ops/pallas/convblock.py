@@ -454,12 +454,24 @@ def _broadcast_affine(mvs, scale, bias, groups, eps):
     return jnp.concatenate(a_rows, 0), jnp.concatenate(b_rows, 0)
 
 
+def stage_geometry(H: int, W: int, cin: int, cout: int, cskip: int = 0,
+                   dtype=jnp.bfloat16) -> PlaneGeo:
+    """The geometry :func:`convblock_stage` uses for a block of this shape —
+    exposed so the UNet orchestrator can verify producer/consumer plane
+    layouts match before chaining stages without NHWC round-trips."""
+    return pick_geometry(H, W, max(cin, cout, cskip),
+                         jnp.dtype(dtype).itemsize)
+
+
 def convblock_stage(x: jnp.ndarray, skip: Optional[jnp.ndarray],
                     k0: jnp.ndarray, k1: jnp.ndarray,
                     affine0: Tuple[jnp.ndarray, jnp.ndarray],
                     affine1: Tuple[jnp.ndarray, jnp.ndarray],
                     *, eps: float = 1e-5, dtype=jnp.bfloat16,
-                    bn_groups: Optional[Tuple[int, ...]] = None):
+                    bn_groups: Optional[Tuple[int, ...]] = None,
+                    plane_info: Optional[Tuple[int, int]] = None,
+                    skip_is_plane: bool = False,
+                    plane_out: bool = False):
     """Full ConvBlock (conv0[+skip split] -> BN -> ReLU -> conv1 -> BN ->
     ReLU) on planes, batch-statistics mode. Fully differentiable: the convs
     are Pallas (custom VJP), the BN/ReLU/stat glue is XLA on plane layouts.
@@ -469,29 +481,43 @@ def convblock_stage(x: jnp.ndarray, skip: Optional[jnp.ndarray],
     the kernel's per-(batch, block) stat partials make the group reduction
     free (slice-sums of the same [B, C] tensor).
 
-    Returns (out NHWC in ``dtype``, (g_mv0, g_mv1)) where each g_mv is a
-    list of per-group (mean, var) f32 pairs (length 1 without groups) —
-    they feed the caller's running-average updates.
+    Plane chaining (round 3): ``plane_info=(H, W)`` declares that ``x`` is
+    ALREADY in this stage's guarded plane layout [B, C, Lbuf] (the producer
+    must share :func:`stage_geometry`); ``skip_is_plane`` likewise for the
+    skip; ``plane_out=True`` returns the output planes instead of NHWC —
+    the UNet forward uses these to drop the to/from-plane conversions
+    between adjacent plane stages (the round-2b trace put them at
+    ~4 ms/step).
+
+    Returns (out NHWC in ``dtype`` — or planes when ``plane_out`` —,
+    (g_mv0, g_mv1)) where each g_mv is a list of per-group (mean, var) f32
+    pairs (length 1 without groups) — they feed the caller's
+    running-average updates.
 
     ``skip`` reproduces ConvBlock(skip=...): conv0 acts on
     ``concat([skip, x], -1)`` via two plane convs on slices of ``k0``.
 
     All planes inside one stage share ONE geometry picked for the widest
     conv (cmax), so conv0's output feeds conv1 without a re-layout."""
-    B, H, W, _ = x.shape
+    if plane_info is None:
+        B, H, W, cin_x = x.shape
+    else:
+        H, W = plane_info
+        B, cin_x, _ = x.shape
+    cs = ((skip.shape[1] if skip_is_plane else skip.shape[-1])
+          if skip is not None else 0)
     cout = k1.shape[-1]
-    cmax = max(x.shape[-1], cout,
-               skip.shape[-1] if skip is not None else 0)
-    geo = pick_geometry(H, W, cmax, jnp.dtype(dtype).itemsize)
+    geo = stage_geometry(H, W, cin_x, cout, cs, dtype)
     mask = border_mask(H, W, geo)
     groups = tuple(bn_groups) if bn_groups else (B,)
     hw = H * W
-    xp = to_planes(x, dtype, geo)
+    xp = x if plane_info is not None else to_planes(x, dtype, geo)
+    assert xp.shape[-1] == geo.lbuf, (xp.shape, geo)
     if skip is not None:
         # conv over concat = sum of two convs; stats of the SUM are not the
         # sum of per-conv stats (sumsq is nonlinear), so reduce in XLA here
-        cs = skip.shape[-1]
-        sp = to_planes(skip, dtype, geo)
+        sp = skip if skip_is_plane else to_planes(skip, dtype, geo)
+        assert sp.shape[-1] == geo.lbuf, (sp.shape, geo)
         p0 = (plane_conv(sp, k0[:, :, :cs], mask, H, W, geo)
               + plane_conv(xp, k0[:, :, cs:], mask, H, W, geo)).astype(dtype)
         s0, sq0 = masked_stats_per_sample(p0, mask)
@@ -504,7 +530,65 @@ def convblock_stage(x: jnp.ndarray, skip: Optional[jnp.ndarray],
     mv1 = _group_mv(s1, sq1, groups, hw)
     a1, b1 = _broadcast_affine(mv1, affine1[0], affine1[1], groups, eps)
     h1 = apply_bn_relu_planes(p1, a1, b1, mask)
+    if plane_out:
+        return h1, (mv0, mv1)
     return from_planes(h1, H, W, geo), (mv0, mv1)
+
+
+# --- plane-layout pooling / pointwise ops (stage chaining glue) ----------
+
+def _plane_interior(xp: jnp.ndarray, H: int, W: int,
+                    geo: PlaneGeo) -> jnp.ndarray:
+    """Guarded planes [B, C, Lbuf] -> interior [B, C, H, W] (still
+    channel-sublane-major; no NHWC transpose)."""
+    B, C, _ = xp.shape
+    core = xp[:, :, geo.mb:geo.mb + geo.P].reshape(B, C, H + 2, W + 2)
+    return core[:, :, 1:H + 1, 1:W + 1]
+
+
+def plane_maxpool(xp: jnp.ndarray, H: int, W: int, geo_in: PlaneGeo,
+                  geo_out: PlaneGeo) -> jnp.ndarray:
+    """2x2/stride-2 max-pool entirely in plane layout: [B, C, Lbuf_in] at
+    (H, W) -> guarded planes [B, C, Lbuf_out] at (H/2, W/2). Replaces the
+    from_planes -> nn.max_pool -> to_planes round-trip between chained
+    plane stages (two full channel<->spatial transposes of the wide
+    activations) with lane-local reshapes/max/pads."""
+    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    B, C, _ = xp.shape
+    Ho, Wo = H // 2, W // 2
+    p = _plane_interior(xp, H, W, geo_in).reshape(B, C, Ho, 2, Wo, 2)
+    p = p.max((3, 5))
+    Po = (Ho + 2) * (Wo + 2)
+    pp = jnp.pad(p, ((0, 0), (0, 0), (1, 1), (1, 1))).reshape(B, C, Po)
+    return jnp.pad(pp, ((0, 0), (0, 0),
+                        (geo_out.mb, geo_out.lbuf - Po - geo_out.mb)))
+
+
+def plane_maxpool_to_nhwc(xp: jnp.ndarray, H: int, W: int,
+                          geo: PlaneGeo) -> jnp.ndarray:
+    """2x2/stride-2 max-pool from planes at (H, W) straight to NHWC
+    [B, H/2, W/2, C] — for a plane-stage output feeding an XLA conv level.
+    The channel<->spatial transpose happens AFTER pooling (4x fewer
+    bytes than from_planes at full resolution followed by nn.max_pool)."""
+    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    B, C, _ = xp.shape
+    p = _plane_interior(xp, H, W, geo).reshape(B, C, H // 2, 2, W // 2, 2)
+    return p.max((3, 5)).transpose(0, 2, 3, 1)
+
+
+def conv1x1_from_planes(xp: jnp.ndarray, kernel: jnp.ndarray,
+                        bias: Optional[jnp.ndarray], H: int, W: int,
+                        geo: PlaneGeo) -> jnp.ndarray:
+    """1x1 conv applied IN plane layout, then converted: [B, Cin, Lbuf] x
+    [Cin, Cout] -> NHWC [B, H, W, Cout]. For the U-Net's Deconv_1x1 head on
+    a chained plane stage the final transpose moves Cout/Cin times fewer
+    bytes (4 classes vs 32 channels). Guard/border lanes of ``xp`` are zero
+    (plane stages mask their outputs) and from_planes drops them anyway."""
+    y = jnp.einsum("bcl,co->bol", xp, kernel.astype(xp.dtype))
+    out = from_planes(y, H, W, geo)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
 
 
 # --- conv WITH the kernel's free stat partials (differentiable) ---------

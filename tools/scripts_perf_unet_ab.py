@@ -31,6 +31,8 @@ def build(mode: str):
     os.environ["CONTRASTYOU_PALLAS_CONV"] = "0" if mode == "all-xla" else "1"
     os.environ["CONTRASTYOU_PALLAS_DEEP"] = (
         "1" if mode == "plane-deep" else "0")
+    os.environ["CONTRASTYOU_PLANE_CHAIN"] = (
+        "0" if mode == "plane-nochain" else "1")
     model = UNet(input_dim=1, num_classes=4, max_channel=512)
     x0 = jnp.asarray(np.random.default_rng(0).standard_normal((B, H, H, 1)),
                      jnp.bfloat16)
@@ -59,7 +61,7 @@ def build(mode: str):
 def main():
     assert jax.default_backend() == "tpu", jax.default_backend()
     flop = None
-    for mode in ("all-xla", "plane-shallow", "plane-deep"):
+    for mode in ("all-xla", "plane-nochain", "plane-shallow"):
         chain, state = build(mode)
         if flop is None:
             flop = chain.lower(state).compile().cost_analysis()["flops"] / INNER
