@@ -377,7 +377,15 @@ class UpConv(nn.Module):
 
     The BN is the same explicit functional form as ConvBlock's (tree-
     identical to ``nn.BatchNorm(name="bn")``) so it supports the per-group
-    batch statistics of the fused two-stage step."""
+    batch statistics of the fused two-stage step.
+
+    Plane path (round 3): when ``plane_out_geo`` is given, the
+    upsample+conv runs as four quarter-resolution parity plane convs
+    (ops/pallas/convblock.py ``upconv_plane``) and the BN+ReLU output is
+    returned as guarded planes at (2H, 2W) in that geometry — the UNet
+    chaining plan uses this to keep the whole decoder tail in plane layout.
+    ``plane_info=(H, W, geo_in)`` additionally declares the input is
+    already planes."""
     features: int
     momentum: float = 0.1
     norm: str = "batchnorm"
@@ -386,7 +394,13 @@ class UpConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = True, bn_groups=None,
-                 bn_update=None):
+                 bn_update=None, plane_info=None, plane_out_geo=None):
+        if plane_out_geo is not None:
+            assert self.norm == "batchnorm" and train, \
+                "plane UpConv requires batchnorm train mode"
+            return self._plane_path(x, plane_info, plane_out_geo,
+                                    bn_groups, bn_update)
+        assert plane_info is None, "plane input requires plane_out_geo"
         # one fused upsample+conv; param tree identical to
         # nn.Conv(features, (3,3), use_bias=False, name="conv")
         x = _UpsampledConv(self.features, dtype=self.dtype, name="conv")(x)
@@ -398,6 +412,39 @@ class UpConv(nn.Module):
         x = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype,
                          name="gn")(x)
         return nn.relu(x)
+
+    def _plane_path(self, x, plane_info, geo_out, bn_groups, bn_update):
+        from ..ops.pallas.convblock import (_broadcast_affine, _group_mv,
+                                            apply_bn_relu_planes,
+                                            border_mask, pick_geometry,
+                                            to_planes, upconv_plane)
+        if plane_info is None:
+            B, H, W, cin = x.shape
+            geo_in = pick_geometry(H, W, max(cin, self.features),
+                                   jnp.dtype(self.dtype).itemsize)
+            xp = to_planes(x, self.dtype, geo_in)
+        else:
+            H, W, geo_in = plane_info
+            xp = x
+            B, cin, _ = x.shape
+        # param trees identical to the XLA path (conv/kernel, bn/*)
+        kernel = _Kernel((3, 3, cin, self.features), name="conv")()
+        s, b, m, v = _BNState(self.features, name="bn")()
+        p, ssum, ssq = upconv_plane(xp, kernel.astype(self.dtype), H, W,
+                                    geo_in, geo_out)
+        groups = tuple(bn_groups) if bn_groups else (B,)
+        mvs = _group_mv(ssum, ssq, groups, 4 * H * W)
+        upd = bn_update or (True,) * len(mvs)
+        for (mu, va), do_upd in zip(mvs, upd):
+            if do_upd and not self.is_initializing():
+                mm = self.momentum
+                m.value = (1.0 - mm) * m.value + mm * jax.lax.stop_gradient(mu)
+                v.value = (1.0 - mm) * v.value + mm * jax.lax.stop_gradient(va)
+        a_ps, b_ps = _broadcast_affine(mvs, s, b, groups, self.eps)
+        if len(groups) == 1:
+            a_ps, b_ps = a_ps[0], b_ps[0]       # [C] whole-batch affine
+        return apply_bn_relu_planes(p, a_ps, b_ps,
+                                    border_mask(2 * H, 2 * W, geo_out))
 
 
 class UNet(nn.Module):
@@ -556,24 +603,39 @@ class UNet(nn.Module):
         if emit("Up_conv4", d4):
             return d4.astype(jnp.float32), collected
 
-        skip3_plane = (p2 and ru3
-                       and g2 == stage_geometry(H2, W2, cu3, cu3, c2,
-                                                self.dtype))
+        # plane UpConvs: upsample+conv as parity plane kernels whose output
+        # lands directly in the consumer ConvBlock's plane geometry
+        from ..ops.pallas.convblock import use_plane_upconv
+        gu3 = stage_geometry(H2, W2, cu3, cu3, c2, self.dtype)
+        gu2 = stage_geometry(H, W, cu2, cu2, c1, self.dtype)
+        up3_plane = (chain_ok and ru3 and H2 % 2 == 0 and W2 % 2 == 0
+                     and use_plane_upconv(cu3, 2 * cu3, (H2 // 2, W2 // 2),
+                                          self.dtype, tag="up3"))
+        up2_plane = (chain_ok and ru2
+                     and use_plane_upconv(cu2, cu3, (H2, W2), self.dtype,
+                                          tag="up2"))
+
+        skip3_plane = p2 and ru3 and g2 == gu3
         if p2 and not skip3_plane:
             e2 = from_planes(e2, H2, W2, g2)
-        d3 = self.Up_conv3(self.Up3(d4, **kw), skip=e2,
-                           skip_is_plane=skip3_plane, **kw)
-        if emit("Up_conv3", d3):
+        d3in = self.Up3(d4, plane_out_geo=gu3 if up3_plane else None, **kw)
+        p_uc3 = (chain_ok and ru3 and up2_plane
+                 and "Up_conv3" not in taps and until != "Up_conv3")
+        d3 = self.Up_conv3(d3in, skip=e2,
+                           plane_info=(H2, W2) if up3_plane else None,
+                           skip_is_plane=skip3_plane, plane_out=p_uc3, **kw)
+        if not p_uc3 and emit("Up_conv3", d3):
             return d3.astype(jnp.float32), collected
 
-        skip2_plane = (p1 and ru2
-                       and g1 == stage_geometry(H, W, cu2, cu2, c1,
-                                                self.dtype))
+        skip2_plane = p1 and ru2 and g1 == gu2
         if p1 and not skip2_plane:
             e1 = from_planes(e1, H, W, g1)
         pu2 = (chain_ok and ru2 and "Up_conv2" not in taps
                and until != "Up_conv2")
-        d2 = self.Up_conv2(self.Up2(d3, **kw), skip=e1,
+        d2in = self.Up2(d3, plane_out_geo=gu2 if up2_plane else None,
+                        plane_info=(H2, W2, gu3) if p_uc3 else None, **kw)
+        d2 = self.Up_conv2(d2in, skip=e1,
+                           plane_info=(H, W) if up2_plane else None,
                            skip_is_plane=skip2_plane, plane_out=pu2, **kw)
         if not pu2 and emit("Up_conv2", d2):
             return d2.astype(jnp.float32), collected

@@ -212,13 +212,18 @@ def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
                    H: int, W: int, *, apply_bn: bool = False,
                    a: Optional[jnp.ndarray] = None,
                    b: Optional[jnp.ndarray] = None,
-                   geo: Optional[PlaneGeo] = None):
-    """One 3x3 conv over guarded planes.
+                   geo: Optional[PlaneGeo] = None,
+                   offsets: Optional[Tuple[int, ...]] = None):
+    """One tap-set conv over guarded planes (default: the 3x3 tap set).
 
-    xp [B, Cin, Lbuf]; w2 [Cout, 9*Cin] (fold_kernel / fold_kernel_transposed
-    output); mask [1, Lbuf] f32. When ``apply_bn``, ``relu(a*x + b)`` (the
-    previous layer's folded BN) is applied to every tap load, masked back to
-    zero on borders/guards.
+    xp [B, Cin, Lbuf]; w2 [Cout, T*Cin] (fold_kernel / fold_kernel_transposed
+    / fold_taps output, T = len(offsets)); mask [1, Lbuf] f32. When
+    ``apply_bn``, ``relu(a*x + b)`` (the previous layer's folded BN) is
+    applied to every tap load, masked back to zero on borders/guards.
+
+    ``offsets``: static lane offsets of the taps (defaults to
+    :func:`tap_offsets` — the 3x3 stencil). The parity-decomposed UpConv
+    kernels pass 2x2 stencils here.
 
     Returns (out_planes [B, Cout, Lbuf], partials [B, nj, 2, Cout] f32)
     where partials sum (over B, nj) to the masked sum / sum-of-squares of
@@ -229,35 +234,41 @@ def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
     cout = w2.shape[0]
     g = geo or _default_geo(H, W)
     assert g.lbuf == Lbuf, (g, Lbuf)
-    if W + 3 > g.pad:
-        # The pad-lane halo must cover the max tap offset (W+3); beyond that
-        # the rolls would wrap stale halo lanes into the patches silently.
+    if offsets is None:
+        offsets = tap_offsets(W)
+    T = len(offsets)
+    if max(abs(o) for o in offsets) > g.pad:
+        # The pad-lane halo must cover the max tap offset; beyond that the
+        # rolls would wrap stale halo lanes into the patches silently.
         raise ValueError(
-            f"plane conv supports W <= {g.pad - 3} (got W={W}); "
+            f"plane conv tap offsets {offsets} exceed the halo pad={g.pad}; "
             "route this layer through the XLA path instead")
     crep = 1 if cin >= 8 else 8 // cin      # 8-aligned patch-row writes
     if a is None:
         a = jnp.ones((cin,), jnp.float32)
         b = jnp.zeros((cin,), jnp.float32)
     if crep > 1:
-        w3 = w2.reshape(cout, 9, cin)
+        w3 = w2.reshape(cout, T, cin)
         w2 = jnp.broadcast_to(w3[:, :, None, :] / crep,
-                              (cout, 9, crep, cin)).reshape(cout, -1)
+                              (cout, T, crep, cin)).reshape(cout, -1)
     f = _partitioned_conv(W, apply_bn, str(jnp.dtype(xp.dtype)),
-                          g.mb, g.pad)
+                          g.mb, g.pad, tuple(offsets))
     return f(xp, w2.astype(xp.dtype),
              a.reshape(cin, 1).astype(jnp.float32),
              b.reshape(cin, 1).astype(jnp.float32), mask)
 
 
 def _conv_plane_call(xp, w2, a, b, mask, *, W: int, apply_bn: bool,
-                     mb: int, pad: int):
+                     mb: int, pad: int,
+                     offsets: Optional[Tuple[int, ...]] = None):
     """The raw pallas_call on (possibly per-shard local) operands."""
+    if offsets is None:
+        offsets = tap_offsets(W)
     B, cin, Lbuf = xp.shape
     cout, kcols = w2.shape
-    crep = kcols // (9 * cin)
+    crep = kcols // (len(offsets) * cin)
     nj = Lbuf // mb - 2
-    kern = partial(_conv_plane_kernel, offsets=tap_offsets(W), cin=cin,
+    kern = partial(_conv_plane_kernel, offsets=offsets, cin=cin,
                    crep=crep, apply_bn=apply_bn, mb=mb, pad=pad)
     return pl.pallas_call(
         kern,
@@ -291,7 +302,8 @@ def _conv_plane_call(xp, w2, a, b, mask, *, W: int, apply_bn: bool,
 
 @lru_cache(maxsize=None)
 def _partitioned_conv(W: int, apply_bn: bool, _dtype_key: str,
-                      mb: int, pad: int):
+                      mb: int, pad: int,
+                      offsets: Optional[Tuple[int, ...]] = None):
     """GSPMD-partitionable wrapper: the kernel is independent per batch
     element, so under a data mesh each shard runs the pallas_call on its
     LOCAL batch (w2/a/b/mask replicated); the BN stat partials stay
@@ -302,7 +314,7 @@ def _partitioned_conv(W: int, apply_bn: bool, _dtype_key: str,
 
     def _raw(xp, w2, a, b, mask):
         return _conv_plane_call(xp, w2, a, b, mask, W=W, apply_bn=apply_bn,
-                                mb=mb, pad=pad)
+                                mb=mb, pad=pad, offsets=offsets)
 
     fn = custom_partitioning(_raw)
 
@@ -325,7 +337,8 @@ def _partitioned_conv(W: int, apply_bn: bool, _dtype_key: str,
 
         def lower_fn(xp, w2, a, b, mask):
             return _conv_plane_call(xp, w2, a, b, mask, W=W,
-                                    apply_bn=apply_bn, mb=mb, pad=pad)
+                                    apply_bn=apply_bn, mb=mb, pad=pad,
+                                    offsets=offsets)
 
         return mesh, lower_fn, out_sh, arg_sh
 
@@ -589,6 +602,159 @@ def conv1x1_from_planes(xp: jnp.ndarray, kernel: jnp.ndarray,
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+# --- generalized tap-set conv + parity-decomposed UpConv -----------------
+
+def fold_taps(kernel: jnp.ndarray) -> jnp.ndarray:
+    """[T, Cin, Cout] tap-major kernel -> [Cout, T*Cin] (the w2 layout the
+    plane kernel's patches scratch expects)."""
+    T, cin, cout = kernel.shape
+    return kernel.transpose(2, 0, 1).reshape(cout, T * cin)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def plane_conv_taps_stats(xp: jnp.ndarray, kernel: jnp.ndarray,
+                          mask: jnp.ndarray, H: int, W: int, geo: PlaneGeo,
+                          offsets: Tuple[int, ...]):
+    """Arbitrary-tap-set plane conv (kernel [T, Cin, Cout], static lane
+    ``offsets``) with the kernel's free masked per-sample (sum, sumsq)
+    stat partials — the generalized sibling of :func:`plane_conv_stats`
+    used by the parity-decomposed UpConv kernels."""
+    out, part = conv_plane_geo(xp, fold_taps(kernel), mask, H, W, geo=geo,
+                               offsets=offsets)
+    out = jnp.where(mask[None] > 0, out, 0).astype(xp.dtype)
+    s = part.sum(1)                                         # [B, 2, C] f32
+    return out, s[:, 0], s[:, 1]
+
+
+def _pcts_fwd(xp, kernel, mask, H, W, geo, offsets):
+    out, ssum, ssq = plane_conv_taps_stats(xp, kernel, mask, H, W, geo,
+                                           offsets)
+    return (out, ssum, ssq), (xp, kernel, mask, out)
+
+
+def _pcts_bwd(H, W, geo, offsets, res, cot):
+    xp, kernel, mask, out = res
+    g_out, g_s, g_sq = cot
+    g = (g_out.astype(jnp.float32)
+         + mask[None] * (g_s[:, :, None]
+                         + 2.0 * out.astype(jnp.float32)
+                         * g_sq[:, :, None]))
+    g = jnp.where(mask[None] > 0, g, 0).astype(xp.dtype)
+    # dx: transposed conv = same tap kernel with NEGATED offsets and
+    # swapped in/out channels (tap order preserved).
+    neg = tuple(-o for o in offsets)
+    dxp, _ = conv_plane_geo(g, fold_taps(kernel.transpose(0, 2, 1)), mask,
+                            H, W, geo=geo, offsets=neg)
+    dxp = jnp.where(mask[None] > 0, dxp, 0).astype(xp.dtype)
+    # dk[t,i,o] = sum_{b,m} xp[b,i,m+off_t] * g[b,o,m] on the real plane
+    gs = g[:, :, geo.mb:geo.mb + geo.P].astype(jnp.float32)
+    dks = []
+    for off in offsets:
+        xs = jax.lax.dynamic_slice_in_dim(xp, geo.mb + off, geo.P, 2)
+        dks.append(jnp.einsum("bim,bom->io", xs.astype(jnp.float32), gs,
+                              preferred_element_type=jnp.float32))
+    dk = jnp.stack(dks, 0)
+    return dxp, dk.astype(kernel.dtype), None
+
+
+plane_conv_taps_stats.defvjp(_pcts_fwd, _pcts_bwd)
+
+
+def _parity_taps(k3: jnp.ndarray, a: int, b: int, W: int):
+    """Fold a [3,3,Cin,Cout] HWIO kernel into the 2x2 tap set producing the
+    (a, b) output-parity class of ``conv3x3_SAME(upsample2x_nearest(x))``.
+
+    Derivation: out(2y+a, 2x+b) = sum_{dy,dx} k[dy,dx] * x((2y+a+dy-1)//2,
+    (2x+b+dx-1)//2) — for each parity the three dy (dx) values collapse
+    onto TWO input rows (cols), so the 9 taps fold into 4 taps whose
+    weights are sums of k's rows/cols. Returns (taps [4, Cin, Cout],
+    lane offsets) with row/col offsets {-1,0} for parity 0 and {0,+1} for
+    parity 1."""
+    rows = ((-1, k3[0]), (0, k3[1] + k3[2])) if a == 0 else \
+           ((0, k3[0] + k3[1]), (1, k3[2]))              # [(off, [3,Ci,Co])]
+    taps, offs = [], []
+    for dy, kr in rows:
+        cols = ((-1, kr[0]), (0, kr[1] + kr[2])) if b == 0 else \
+               ((0, kr[0] + kr[1]), (1, kr[2]))
+        for dx, kc in cols:
+            taps.append(kc)                              # [Cin, Cout]
+            offs.append(dy * (W + 2) + dx)
+    return jnp.stack(taps, 0), tuple(offs)
+
+
+def upconv_plane(xp: jnp.ndarray, k3: jnp.ndarray, H: int, W: int,
+                 geo_in: PlaneGeo, geo_out: PlaneGeo):
+    """``conv3x3_SAME(upsample2x_nearest(x))`` entirely in plane layout:
+    input planes [B, Cin, Lbuf_in] at (H, W) -> preactivation planes
+    [B, Cout, Lbuf_out] at (2H, 2W) plus masked per-sample (sum, sumsq)
+    stats of the full output (for the UpConv BN).
+
+    Four quarter-resolution 2x2-tap plane convs (one per output-parity
+    class, :func:`_parity_taps`) + a lane-local interleave — 4/9 of the
+    MACs of a 3x3 conv at the upsampled resolution, no NHWC round-trip,
+    and the output lands directly in the consumer stage's geometry.
+    Differentiable end-to-end: the parity convs carry the generalized
+    custom VJP; folding and interleave are plain XLA.
+
+    Matches models/unet.py ``conv3x3_on_upsampled`` (ref: arch/unet.py:34-47
+    up_conv) up to dtype rounding."""
+    B, cin, _ = xp.shape
+    cout = k3.shape[-1]
+    mask_in = border_mask(H, W, geo_in)
+    quads, ssum, ssq = [], 0.0, 0.0
+    for a in (0, 1):
+        row = []
+        for b in (0, 1):
+            taps, offs = _parity_taps(k3, a, b, W)
+            o, s, sq = plane_conv_taps_stats(xp, taps, mask_in, H, W,
+                                             geo_in, offs)
+            ssum, ssq = ssum + s, ssq + sq
+            row.append(_plane_interior(o, H, W, geo_in))
+        quads.append(row)
+    q = jnp.stack([jnp.stack(r, 0) for r in quads], 0)   # [a, b, B, Co, H, W]
+    q = q.transpose(2, 3, 4, 0, 5, 1).reshape(B, cout, 2 * H, 2 * W)
+    Po = (2 * H + 2) * (2 * W + 2)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (1, 1), (1, 1))).reshape(B, cout, Po)
+    out = jnp.pad(qp, ((0, 0), (0, 0),
+                       (geo_out.mb, geo_out.lbuf - Po - geo_out.mb)))
+    return out, ssum, ssq
+
+
+def use_plane_upconv(features: int, cin: int, spatial_in: Tuple[int, int],
+                     dtype=jnp.bfloat16, tag: str = "") -> bool:
+    """Gate for the parity-decomposed plane UpConv: same env/backend policy
+    as :func:`models.unet.use_pallas_stage`, evaluated on the INPUT spatial
+    size (the parity convs run at input resolution; max tap offset is W+3
+    like the 3x3 stencil).
+
+    ``CONTRASTYOU_PLANE_UPCONV``: "0" disables, "1" enables every eligible
+    UpConv, or a comma list of level tags enabling only those. The default
+    is "up2": the on-chip per-level A/B (BENCH_NOTES round 3) measured the
+    wide Up2 level (112^2 -> 224^2, Cin=64) 0.23 ms/step FASTER and the
+    deeper Up3 level (Cin=128) 0.75 ms/step SLOWER than the
+    NHWC-interleaved XLA formulation."""
+    import os
+    H, W = spatial_in
+    fits = dtype == jnp.bfloat16 or (H + 2) * (W + 2) <= 20000
+    try:
+        geo = pick_geometry(H, W, max(cin, features),
+                            jnp.dtype(dtype).itemsize)
+    except ValueError:
+        return False
+    eligible = fits and (W + 3 <= geo.pad)
+    knob = os.environ.get("CONTRASTYOU_PLANE_UPCONV", "up2")
+    if knob == "0":
+        return False                      # A/B knob (measured on-chip)
+    if knob != "1" and tag not in knob.split(","):
+        return False
+    raw = os.environ.get("CONTRASTYOU_PALLAS_CONV", "")
+    if raw == "0":
+        return False
+    if raw == "1":
+        return eligible
+    return jax.default_backend() == "tpu" and eligible
 
 
 # --- conv WITH the kernel's free stat partials (differentiable) ---------

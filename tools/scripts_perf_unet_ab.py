@@ -33,6 +33,9 @@ def build(mode: str):
         "1" if mode == "plane-deep" else "0")
     os.environ["CONTRASTYOU_PLANE_CHAIN"] = (
         "0" if mode == "plane-nochain" else "1")
+    os.environ["CONTRASTYOU_PLANE_UPCONV"] = {
+        "plane-nochain": "0", "plane-noupconv": "0",
+        "plane-up2": "up2", "plane-up3": "up3"}.get(mode, "1")
     model = UNet(input_dim=1, num_classes=4, max_channel=512)
     x0 = jnp.asarray(np.random.default_rng(0).standard_normal((B, H, H, 1)),
                      jnp.bfloat16)
@@ -61,22 +64,36 @@ def build(mode: str):
 def main():
     assert jax.default_backend() == "tpu", jax.default_backend()
     flop = None
-    for mode in ("all-xla", "plane-nochain", "plane-shallow"):
+    modes = sys.argv[1:] or ["all-xla", "plane-noupconv", "plane-shallow"]
+    built = {}
+    for mode in modes:
         chain, state = build(mode)
         if flop is None:
             flop = chain.lower(state).compile().cost_analysis()["flops"] / INNER
             print(f"cost analysis: {flop / 1e12:.3f} TFLOP per fwd+bwd")
-        for _ in range(WARM):
-            state = chain(state)
-        float(state[1])
-        t0 = time.perf_counter()
-        for _ in range(CALLS):
-            state = chain(state)
-        acc = float(state[1])
-        dt = time.perf_counter() - t0
-        per = dt / (CALLS * INNER)
-        print(f"{mode:>14}: {per * 1e3:7.2f} ms  "
-              f"{flop / per / 1e12:5.1f} TFLOP/s  acc={acc:.3e}")
+        state = chain(state)   # force trace/compile while mode env is active
+        built[mode] = (chain, state)
+    # interleave timing rounds across modes to cancel machine/tunnel drift
+    times = {m: [] for m in modes}
+    for rnd in range(3):
+        for mode in modes:
+            chain, state = built[mode]
+            for _ in range(WARM):
+                state = chain(state)
+            float(state[1])
+            t0 = time.perf_counter()
+            for _ in range(CALLS):
+                state = chain(state)
+            acc = float(state[1])
+            dt = time.perf_counter() - t0
+            built[mode] = (chain, state)
+            times[mode].append(dt / (CALLS * INNER))
+    for mode in modes:
+        per = min(times[mode])
+        all_ms = " ".join(f"{t*1e3:.2f}" for t in times[mode])
+        print(f"{mode:>14}: best {per * 1e3:7.2f} ms  "
+              f"{flop / per / 1e12:5.1f} TFLOP/s  rounds [{all_ms}]  "
+              f"acc={acc:.3e}")
 
 
 if __name__ == "__main__":
