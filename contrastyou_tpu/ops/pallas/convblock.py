@@ -165,6 +165,57 @@ def fold_kernel_transposed(kernel: jnp.ndarray) -> jnp.ndarray:
     return taps.transpose(1, 0, 2).reshape(cin, 9 * cout)
 
 
+def _conv_plane_kernel_dyg(x_ref, w2t_ref, a_ref, b_ref, mask_ref,
+                           out_ref, part_ref, patches,
+                           *, W: int, cin: int, crep: int, apply_bn: bool,
+                           mb: int, pad: int):
+    """dy-grouped 3x3 variant of :func:`_conv_plane_kernel`: THREE input
+    rolls (one per kernel ROW, window starting one lane early) into a shared
+    ``[3*rows, mb+128]`` patches scratch, then three K=3*rows matmuls (one
+    per kernel COLUMN dx, whose taps differ only by a 1-lane shift) combined
+    with shifted lanes: ``out[t] = sum_dx z_dx[t + dx]``. Same MACs, 3x less
+    patches write traffic and 6 fewer full-width VPU rotates than the 9-roll
+    form, at the cost of two [Cout, mb+128] f32 output rotates. ``w2t`` is
+    the TRANSPOSED dy-grouped fold ``[9*rows, Cout]`` (built in
+    conv_plane_geo) so the per-dx slices are sublane slices. Lanes past
+    mb+1 of a patches window may wrap stale halo data — they never reach
+    ``out[:, :mb]`` after the shifted combine."""
+    j = pl.program_id(1)
+    wide_lo = mb + j * mb - pad
+    width = mb + 2 * pad
+    xw = x_ref[0, :, pl.ds(wide_lo, width)].astype(jnp.float32)
+    mw = mask_ref[:, pl.ds(wide_lo, width)]
+    if apply_bn:
+        h = xw * a_ref[:] + b_ref[:]
+        h = jnp.maximum(h, 0.0)
+        xw = jnp.where(mw > 0, h, 0.0)
+    rows = cin * crep
+    dtype = out_ref.dtype
+    mbw = mb + 128
+    for r in range(3):                       # kernel row dy
+        off = (r - 1) * (W + 2) - 1          # window starts at lane -1
+        rel = (-(pad + off)) % width
+        blk = pltpu.roll(xw, rel, 1)[:, :mbw].astype(dtype)
+        if crep > 1:
+            blk = pltpu.repeat(blk, crep, 0)
+        patches[pl.ds(r * rows, rows), :] = blk
+    acc = None
+    for dx in range(3):                      # kernel column
+        wsl = w2t_ref[pl.ds(dx * 3 * rows, 3 * rows), :]
+        z = jax.lax.dot_general(
+            wsl, patches[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [Cout, mbw]
+        if dx:
+            z = pltpu.roll(z, (-dx) % mbw, 1)
+        acc = z if acc is None else acc + z
+    out = acc[:, :mb].astype(out_ref.dtype)
+    out_ref[0, :, :] = out
+    m_out = pltpu.roll(mw, (-pad) % width, 1)[0, :mb]
+    v = jnp.where(m_out > 0, out.astype(jnp.float32), 0.0)
+    part_ref[0, 0, 0, :] = jnp.sum(v, axis=1)
+    part_ref[0, 0, 1, :] = jnp.sum(v * v, axis=1)
+
+
 def _conv_plane_kernel(x_ref, w2_ref, a_ref, b_ref, mask_ref,
                        out_ref, part_ref, patches,
                        *, offsets, cin: int, crep: int, apply_bn: bool,
@@ -251,33 +302,58 @@ def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
         w3 = w2.reshape(cout, T, cin)
         w2 = jnp.broadcast_to(w3[:, :, None, :] / crep,
                               (cout, T, crep, cin)).reshape(cout, -1)
+    dyg = T == 9 and offsets == tap_offsets(W) and _dyg_enabled()
+    if dyg:
+        # dy-grouped transposed fold: columns (dy, dx, rows) -> sublanes
+        # (dx, dy, rows), Cout -> lanes (see _conv_plane_kernel_dyg)
+        rows = cin * crep
+        w2 = (w2.reshape(cout, 3, 3, rows).transpose(2, 1, 3, 0)
+              .reshape(9 * rows, cout))
     f = _partitioned_conv(W, apply_bn, str(jnp.dtype(xp.dtype)),
-                          g.mb, g.pad, tuple(offsets))
+                          g.mb, g.pad, tuple(offsets), dyg)
     return f(xp, w2.astype(xp.dtype),
              a.reshape(cin, 1).astype(jnp.float32),
              b.reshape(cin, 1).astype(jnp.float32), mask)
 
 
+def _dyg_enabled() -> bool:
+    import os
+    return os.environ.get("CONTRASTYOU_PLANE_DYG", "1") != "0"
+
+
 def _conv_plane_call(xp, w2, a, b, mask, *, W: int, apply_bn: bool,
                      mb: int, pad: int,
-                     offsets: Optional[Tuple[int, ...]] = None):
+                     offsets: Optional[Tuple[int, ...]] = None,
+                     dyg: bool = False):
     """The raw pallas_call on (possibly per-shard local) operands."""
     if offsets is None:
         offsets = tap_offsets(W)
     B, cin, Lbuf = xp.shape
-    cout, kcols = w2.shape
-    crep = kcols // (len(offsets) * cin)
+    if dyg:
+        kcols, cout = w2.shape               # transposed dy-grouped fold
+        crep = kcols // (9 * cin)
+        rows = cin * crep
+        kern = partial(_conv_plane_kernel_dyg, W=W, cin=cin, crep=crep,
+                       apply_bn=apply_bn, mb=mb, pad=pad)
+        w2_spec = pl.BlockSpec((kcols, cout), lambda bi, ji: (0, 0),
+                               memory_space=pltpu.VMEM)
+        scratch = pltpu.VMEM((3 * rows, mb + 128), xp.dtype)
+    else:
+        cout, kcols = w2.shape
+        crep = kcols // (len(offsets) * cin)
+        kern = partial(_conv_plane_kernel, offsets=offsets, cin=cin,
+                       crep=crep, apply_bn=apply_bn, mb=mb, pad=pad)
+        w2_spec = pl.BlockSpec((cout, kcols), lambda bi, ji: (0, 0),
+                               memory_space=pltpu.VMEM)
+        scratch = pltpu.VMEM((kcols, mb), xp.dtype)
     nj = Lbuf // mb - 2
-    kern = partial(_conv_plane_kernel, offsets=offsets, cin=cin,
-                   crep=crep, apply_bn=apply_bn, mb=mb, pad=pad)
     return pl.pallas_call(
         kern,
         grid=(B, nj),
         in_specs=[
             pl.BlockSpec((1, cin, Lbuf), lambda bi, ji: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cout, kcols), lambda bi, ji: (0, 0),
-                         memory_space=pltpu.VMEM),
+            w2_spec,
             pl.BlockSpec((cin, 1), lambda bi, ji: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cin, 1), lambda bi, ji: (0, 0),
@@ -295,7 +371,7 @@ def _conv_plane_call(xp, w2, a, b, mask, *, W: int, apply_bn: bool,
             jax.ShapeDtypeStruct((B, cout, Lbuf), xp.dtype),
             jax.ShapeDtypeStruct((B, nj, 2, cout), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((kcols, mb), xp.dtype)],
+        scratch_shapes=[scratch],
         interpret=_interpret(),
     )(xp, w2, a, b, mask)
 
@@ -303,7 +379,8 @@ def _conv_plane_call(xp, w2, a, b, mask, *, W: int, apply_bn: bool,
 @lru_cache(maxsize=None)
 def _partitioned_conv(W: int, apply_bn: bool, _dtype_key: str,
                       mb: int, pad: int,
-                      offsets: Optional[Tuple[int, ...]] = None):
+                      offsets: Optional[Tuple[int, ...]] = None,
+                      dyg: bool = False):
     """GSPMD-partitionable wrapper: the kernel is independent per batch
     element, so under a data mesh each shard runs the pallas_call on its
     LOCAL batch (w2/a/b/mask replicated); the BN stat partials stay
@@ -314,7 +391,7 @@ def _partitioned_conv(W: int, apply_bn: bool, _dtype_key: str,
 
     def _raw(xp, w2, a, b, mask):
         return _conv_plane_call(xp, w2, a, b, mask, W=W, apply_bn=apply_bn,
-                                mb=mb, pad=pad, offsets=offsets)
+                                mb=mb, pad=pad, offsets=offsets, dyg=dyg)
 
     fn = custom_partitioning(_raw)
 
@@ -338,7 +415,7 @@ def _partitioned_conv(W: int, apply_bn: bool, _dtype_key: str,
         def lower_fn(xp, w2, a, b, mask):
             return _conv_plane_call(xp, w2, a, b, mask, W=W,
                                     apply_bn=apply_bn, mb=mb, pad=pad,
-                                    offsets=offsets)
+                                    offsets=offsets, dyg=dyg)
 
         return mesh, lower_fn, out_sh, arg_sh
 
