@@ -6,6 +6,9 @@ import gzip
 import json
 import os
 import sys
+from pathlib import Path
+
+sys.path.append(str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
