@@ -98,14 +98,14 @@ def use_pallas_stage(features: int, dtype=jnp.bfloat16,
     dtypes are gated to small spatial sizes."""
     import os
     H, W = spatial
-    fits = dtype == jnp.bfloat16 or (H + 2) * (W + 2) <= 20000
     from ..ops.pallas.convblock import pick_geometry
     try:
         geo = pick_geometry(H, W, max(cmax or features, features),
                             jnp.dtype(dtype).itemsize)
     except ValueError:
         return False
-    halo_ok = W + 3 <= geo.pad
+    fits = dtype == jnp.bfloat16 or geo.P <= 20000
+    halo_ok = geo.rs + 1 <= geo.pad
     deep_ok = (features <= 64
                or os.environ.get("CONTRASTYOU_PALLAS_DEEP", "") == "1")
     eligible = fits and halo_ok and deep_ok

@@ -11,7 +11,9 @@ This kernel family flips the formulation:
   SUBLANES, flattened (H+2)x(W+2) spatial in LANES (full 128-lane tiles).
   SAME-padding is the plane border itself.
 - a conv tap (dy,dx) is a LANE-OFFSET slice of the plane (offset
-  (dy-1)*(W+2)+(dx-1)), so the 3x3 im2col is 9 sublane-offset writes into a
+  (dy-1)*rs+(dx-1), rs = the geometry's row stride — W+2, or the next
+  128-multiple when alignment pays), so the 3x3 im2col is 9 sublane-offset
+  writes into a
   VMEM ``patches [9*C_in, MB]`` scratch and the conv is ONE
   ``W2 [C_out, 9*C_in] @ patches`` matmul: K = 9*C_in, lanes = MB — ~70% MXU
   at C_in=32 vs ~6% for the (M=pixels, K=9*C_in, N=C_out) shape XLA uses.
@@ -50,13 +52,18 @@ def _interpret() -> bool:
 class PlaneGeo(NamedTuple):
     """Static plane-layout geometry (hashable: rides static args / cache
     keys). ``mb``: output lanes per grid step; ``pad``: aligned-load halo
-    (must cover the max tap offset W+3); ``P``: real plane length
-    (H+2)*(W+2); ``lbuf``: guarded buffer length; ``nj``: grid steps."""
+    (must cover the max tap offset rs+1); ``P``: real plane length
+    (H+2)*rs; ``lbuf``: guarded buffer length; ``nj``: grid steps;
+    ``rs``: row stride in lanes (>= W+2; when 128-aligned, every
+    [B,C,Lbuf] <-> [B,C,H+2,rs] row split in the stage-chaining glue is a
+    free bitcast instead of a re-tiling copy — the round-3 trace put those
+    copies at ~8 ms/step at 224^2)."""
     mb: int
     pad: int
     P: int
     lbuf: int
     nj: int
+    rs: int
 
 
 #: legacy wide-layer constants (224^2/112^2, C<=64) — kept as defaults so the
@@ -70,29 +77,63 @@ PAD = 256
 _PATCH_BUDGET = 6 << 20
 
 
-def make_geo(H: int, W: int, mb: int, pad: int) -> PlaneGeo:
-    P = (H + 2) * (W + 2)
+def make_geo(H: int, W: int, mb: int, pad: int,
+             rs: Optional[int] = None) -> PlaneGeo:
+    rs = rs or (W + 2)
+    P = (H + 2) * rs
     ppad = ((P + mb - 1) // mb) * mb
-    return PlaneGeo(mb, pad, P, mb + ppad + mb, ppad // mb)
+    return PlaneGeo(mb, pad, P, mb + ppad + mb, ppad // mb, rs)
+
+
+#: align the row stride to 128 lanes only while the padding overhead stays
+#: below this factor (224^2: 256/226=1.13x -> aligned; 56^2: 128/58=2.2x ->
+#: legacy — the deep levels would pay more in kernel load traffic than the
+#: glue saves).
+_ALIGN_MAX_WASTE = 1.5
+
+
+def _align_enabled() -> bool:
+    # Default OFF: the round-3 on-chip A/B measured the aligned stride a net
+    # LOSS end-to-end (267.2 vs 276.8 slices/s; 112-only 275.9) — the +13%
+    # lbuf and the pad 256->384 halo growth cost the kernels more than the
+    # bitcast row splits save once plane_maxpool uses strided slices instead
+    # of pair reshapes. Kept as a knob for future toolchains.
+    import os
+    return os.environ.get("CONTRASTYOU_PLANE_ALIGN", "0") == "1"
+
+
+def pick_geometry(H: int, W: int, cmax: int, itemsize: int = 2,
+                  align: Optional[bool] = None) -> PlaneGeo:
+    if align is None:
+        align = _align_enabled()
+    return _pick_geometry(H, W, cmax, itemsize, align)
 
 
 @lru_cache(maxsize=None)
-def pick_geometry(H: int, W: int, cmax: int, itemsize: int = 2) -> PlaneGeo:
-    """Choose (mb, pad) for a plane stage whose widest conv has ``cmax``
+def _pick_geometry(H: int, W: int, cmax: int, itemsize: int,
+                   align: bool) -> PlaneGeo:
+    """Choose (mb, pad, rs) for a plane stage whose widest conv has ``cmax``
     input channels: minimize the total lanes actually processed
     ``nj * (mb + 2*pad)`` (each grid step loads its block plus the halo
     overlap, so small blocks re-load every lane ~(1 + 2*pad/mb) times),
     breaking ties toward larger blocks (fewer grid steps / bigger matmuls),
     subject to the patches scratch ``9*cmax*mb*itemsize`` fitting the VMEM
     budget and ``mb >= pad`` (the guard block must cover the halo
-    look-back)."""
-    pad = max(128, ((W + 3 + 127) // 128) * 128)
+    look-back). ``align``: use a 128-aligned row stride when the padding
+    waste is acceptable (CONTRASTYOU_PLANE_ALIGN=0 forces the legacy W+2
+    stride everywhere — A/B knob)."""
+    rs = W + 2
+    aligned = ((W + 2 + 127) // 128) * 128
+    if align and aligned <= _ALIGN_MAX_WASTE * (W + 2):
+        rs = aligned
+    # halo must cover the max 3x3 tap offset rs+1, at 128-lane granularity
+    pad = max(128, ((rs + 1 + 127) // 128) * 128)
     crep = 1 if cmax >= 8 else 8 // cmax
     best = None
     for mb in (4096, 2048, 1024, 512, 256, 128):
         if mb < pad or 9 * cmax * crep * mb * itemsize > _PATCH_BUDGET:
             continue
-        geo = make_geo(H, W, mb, pad)
+        geo = make_geo(H, W, mb, pad, rs)
         key = (geo.nj * (mb + 2 * pad), -mb)
         if best is None or key < best[0]:
             best = (key, geo)
@@ -112,17 +153,21 @@ def plane_geometry(H: int, W: int) -> Tuple[int, int]:
     return g.P, g.lbuf
 
 
-def tap_offsets(W: int) -> Tuple[int, ...]:
-    return tuple((dy - 1) * (W + 2) + (dx - 1)
+def tap_offsets(rs: int) -> Tuple[int, ...]:
+    """3x3 stencil lane offsets for a plane layout of row stride ``rs``
+    (pass ``geo.rs``; the legacy stride is W+2)."""
+    return tuple((dy - 1) * rs + (dx - 1)
                  for dy in range(3) for dx in range(3))
 
 
 def to_planes(x: jnp.ndarray, dtype=jnp.bfloat16,
               geo: Optional[PlaneGeo] = None) -> jnp.ndarray:
-    """NHWC [B,H,W,C] -> guarded plane layout [B, C, Lbuf], zero borders."""
+    """NHWC [B,H,W,C] -> guarded plane layout [B, C, Lbuf], zero borders
+    (rows padded to ``geo.rs`` lanes; lanes past W+2 are dead and zero)."""
     B, H, W, C = x.shape
     g = geo or _default_geo(H, W)
-    xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, g.rs - W - 1),
+                                   (0, 0)))
     xp = xp.transpose(0, 3, 1, 2).reshape(B, C, g.P)
     return jnp.pad(xp, ((0, 0), (0, 0), (g.mb, g.lbuf - g.P - g.mb)))
 
@@ -132,15 +177,15 @@ def from_planes(xp: jnp.ndarray, H: int, W: int,
     """guarded planes [B, C, Lbuf] -> NHWC [B,H,W,C] (drop borders/guards)."""
     B, C, _ = xp.shape
     g = geo or _default_geo(H, W)
-    core = xp[:, :, g.mb:g.mb + g.P].reshape(B, C, H + 2, W + 2)
-    return core[:, :, 1:-1, 1:-1].transpose(0, 2, 3, 1)
+    core = xp[:, :, g.mb:g.mb + g.P].reshape(B, C, H + 2, g.rs)
+    return core[:, :, 1:H + 1, 1:W + 1].transpose(0, 2, 3, 1)
 
 
 def border_mask(H: int, W: int, geo: Optional[PlaneGeo] = None) -> jnp.ndarray:
     """[1, Lbuf] f32: 1 on interior pixels, 0 on borders/guards/padding."""
     g = geo or _default_geo(H, W)
     idx = np.arange(g.lbuf) - g.mb
-    row, col = idx // (W + 2), idx % (W + 2)
+    row, col = idx // g.rs, idx % g.rs
     ok = ((idx >= 0) & (idx < g.P) & (row >= 1) & (row <= H)
           & (col >= 1) & (col <= W))
     return jnp.asarray(ok, jnp.float32)[None, :]
@@ -167,7 +212,7 @@ def fold_kernel_transposed(kernel: jnp.ndarray) -> jnp.ndarray:
 
 def _conv_plane_kernel_dyg(x_ref, w2t_ref, a_ref, b_ref, mask_ref,
                            out_ref, part_ref, patches,
-                           *, W: int, cin: int, crep: int, apply_bn: bool,
+                           *, rs: int, cin: int, crep: int, apply_bn: bool,
                            mb: int, pad: int):
     """dy-grouped 3x3 variant of :func:`_conv_plane_kernel`: THREE input
     rolls (one per kernel ROW, window starting one lane early) into a shared
@@ -193,7 +238,7 @@ def _conv_plane_kernel_dyg(x_ref, w2t_ref, a_ref, b_ref, mask_ref,
     dtype = out_ref.dtype
     mbw = mb + 128
     for r in range(3):                       # kernel row dy
-        off = (r - 1) * (W + 2) - 1          # window starts at lane -1
+        off = (r - 1) * rs - 1               # window starts at lane -1
         rel = (-(pad + off)) % width
         blk = pltpu.roll(xw, rel, 1)[:, :mbw].astype(dtype)
         if crep > 1:
@@ -286,7 +331,7 @@ def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
     g = geo or _default_geo(H, W)
     assert g.lbuf == Lbuf, (g, Lbuf)
     if offsets is None:
-        offsets = tap_offsets(W)
+        offsets = tap_offsets(g.rs)
     T = len(offsets)
     if max(abs(o) for o in offsets) > g.pad:
         # The pad-lane halo must cover the max tap offset; beyond that the
@@ -302,14 +347,14 @@ def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
         w3 = w2.reshape(cout, T, cin)
         w2 = jnp.broadcast_to(w3[:, :, None, :] / crep,
                               (cout, T, crep, cin)).reshape(cout, -1)
-    dyg = T == 9 and offsets == tap_offsets(W) and _dyg_enabled()
+    dyg = T == 9 and offsets == tap_offsets(g.rs) and _dyg_enabled()
     if dyg:
         # dy-grouped transposed fold: columns (dy, dx, rows) -> sublanes
         # (dx, dy, rows), Cout -> lanes (see _conv_plane_kernel_dyg)
         rows = cin * crep
         w2 = (w2.reshape(cout, 3, 3, rows).transpose(2, 1, 3, 0)
               .reshape(9 * rows, cout))
-    f = _partitioned_conv(W, apply_bn, str(jnp.dtype(xp.dtype)),
+    f = _partitioned_conv(g.rs, apply_bn, str(jnp.dtype(xp.dtype)),
                           g.mb, g.pad, tuple(offsets), dyg)
     return f(xp, w2.astype(xp.dtype),
              a.reshape(cin, 1).astype(jnp.float32),
@@ -321,19 +366,19 @@ def _dyg_enabled() -> bool:
     return os.environ.get("CONTRASTYOU_PLANE_DYG", "1") != "0"
 
 
-def _conv_plane_call(xp, w2, a, b, mask, *, W: int, apply_bn: bool,
+def _conv_plane_call(xp, w2, a, b, mask, *, rs: int, apply_bn: bool,
                      mb: int, pad: int,
                      offsets: Optional[Tuple[int, ...]] = None,
                      dyg: bool = False):
     """The raw pallas_call on (possibly per-shard local) operands."""
     if offsets is None:
-        offsets = tap_offsets(W)
+        offsets = tap_offsets(rs)
     B, cin, Lbuf = xp.shape
     if dyg:
         kcols, cout = w2.shape               # transposed dy-grouped fold
         crep = kcols // (9 * cin)
         rows = cin * crep
-        kern = partial(_conv_plane_kernel_dyg, W=W, cin=cin, crep=crep,
+        kern = partial(_conv_plane_kernel_dyg, rs=rs, cin=cin, crep=crep,
                        apply_bn=apply_bn, mb=mb, pad=pad)
         w2_spec = pl.BlockSpec((kcols, cout), lambda bi, ji: (0, 0),
                                memory_space=pltpu.VMEM)
@@ -377,7 +422,7 @@ def _conv_plane_call(xp, w2, a, b, mask, *, W: int, apply_bn: bool,
 
 
 @lru_cache(maxsize=None)
-def _partitioned_conv(W: int, apply_bn: bool, _dtype_key: str,
+def _partitioned_conv(rs: int, apply_bn: bool, _dtype_key: str,
                       mb: int, pad: int,
                       offsets: Optional[Tuple[int, ...]] = None,
                       dyg: bool = False):
@@ -390,7 +435,7 @@ def _partitioned_conv(W: int, apply_bn: bool, _dtype_key: str,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def _raw(xp, w2, a, b, mask):
-        return _conv_plane_call(xp, w2, a, b, mask, W=W, apply_bn=apply_bn,
+        return _conv_plane_call(xp, w2, a, b, mask, rs=rs, apply_bn=apply_bn,
                                 mb=mb, pad=pad, offsets=offsets, dyg=dyg)
 
     fn = custom_partitioning(_raw)
@@ -413,7 +458,7 @@ def _partitioned_conv(W: int, apply_bn: bool, _dtype_key: str,
                   NamedSharding(mesh, P(baxis, None, None, None)))
 
         def lower_fn(xp, w2, a, b, mask):
-            return _conv_plane_call(xp, w2, a, b, mask, W=W,
+            return _conv_plane_call(xp, w2, a, b, mask, rs=rs,
                                     apply_bn=apply_bn, mb=mb, pad=pad,
                                     offsets=offsets, dyg=dyg)
 
@@ -491,7 +536,7 @@ def _plane_conv_bwd(H, W, geo, res, g):
     # xp[i, m+off_t]  =>  dk[t,i,o] = sum_b,m xp[b,i,m+off_t] * g[b,o,m].
     gs = g[:, :, gg.mb:gg.mb + gg.P].astype(jnp.float32)
     dks = []
-    for off in tap_offsets(W):
+    for off in tap_offsets(gg.rs):
         xs = jax.lax.dynamic_slice_in_dim(xp, gg.mb + off, gg.P, 2)
         dks.append(jnp.einsum("bim,bom->io", xs.astype(jnp.float32), gs,
                               preferred_element_type=jnp.float32))
@@ -630,9 +675,10 @@ def convblock_stage(x: jnp.ndarray, skip: Optional[jnp.ndarray],
 def _plane_interior(xp: jnp.ndarray, H: int, W: int,
                     geo: PlaneGeo) -> jnp.ndarray:
     """Guarded planes [B, C, Lbuf] -> interior [B, C, H, W] (still
-    channel-sublane-major; no NHWC transpose)."""
+    channel-sublane-major; no NHWC transpose). The row split is a free
+    bitcast when ``geo.rs`` is 128-aligned."""
     B, C, _ = xp.shape
-    core = xp[:, :, geo.mb:geo.mb + geo.P].reshape(B, C, H + 2, W + 2)
+    core = xp[:, :, geo.mb:geo.mb + geo.P].reshape(B, C, H + 2, geo.rs)
     return core[:, :, 1:H + 1, 1:W + 1]
 
 
@@ -646,12 +692,14 @@ def plane_maxpool(xp: jnp.ndarray, H: int, W: int, geo_in: PlaneGeo,
     assert H % 2 == 0 and W % 2 == 0, (H, W)
     B, C, _ = xp.shape
     Ho, Wo = H // 2, W // 2
-    p = _plane_interior(xp, H, W, geo_in).reshape(B, C, Ho, 2, Wo, 2)
-    p = p.max((3, 5))
-    Po = (Ho + 2) * (Wo + 2)
-    pp = jnp.pad(p, ((0, 0), (0, 0), (1, 1), (1, 1))).reshape(B, C, Po)
+    v = xp[:, :, geo_in.mb:geo_in.mb + geo_in.P].reshape(B, C, H + 2,
+                                                         geo_in.rs)
+    rows = jnp.maximum(v[:, :, 1:H + 1:2], v[:, :, 2:H + 2:2])
+    p = jnp.maximum(rows[:, :, :, 1:W + 1:2], rows[:, :, :, 2:W + 2:2])
+    pp = jnp.pad(p, ((0, 0), (0, 0), (1, 1), (1, geo_out.rs - Wo - 1)))
+    pp = pp.reshape(B, C, geo_out.P)
     return jnp.pad(pp, ((0, 0), (0, 0),
-                        (geo_out.mb, geo_out.lbuf - Po - geo_out.mb)))
+                        (geo_out.mb, geo_out.lbuf - geo_out.P - geo_out.mb)))
 
 
 def plane_maxpool_to_nhwc(xp: jnp.ndarray, H: int, W: int,
@@ -662,8 +710,10 @@ def plane_maxpool_to_nhwc(xp: jnp.ndarray, H: int, W: int,
     bytes than from_planes at full resolution followed by nn.max_pool)."""
     assert H % 2 == 0 and W % 2 == 0, (H, W)
     B, C, _ = xp.shape
-    p = _plane_interior(xp, H, W, geo).reshape(B, C, H // 2, 2, W // 2, 2)
-    return p.max((3, 5)).transpose(0, 2, 3, 1)
+    v = xp[:, :, geo.mb:geo.mb + geo.P].reshape(B, C, H + 2, geo.rs)
+    rows = jnp.maximum(v[:, :, 1:H + 1:2], v[:, :, 2:H + 2:2])
+    p = jnp.maximum(rows[:, :, :, 1:W + 1:2], rows[:, :, :, 2:W + 2:2])
+    return p.transpose(0, 2, 3, 1)
 
 
 def conv1x1_from_planes(xp: jnp.ndarray, kernel: jnp.ndarray,
@@ -739,7 +789,7 @@ def _pcts_bwd(H, W, geo, offsets, res, cot):
 plane_conv_taps_stats.defvjp(_pcts_fwd, _pcts_bwd)
 
 
-def _parity_taps(k3: jnp.ndarray, a: int, b: int, W: int):
+def _parity_taps(k3: jnp.ndarray, a: int, b: int, rs: int):
     """Fold a [3,3,Cin,Cout] HWIO kernel into the 2x2 tap set producing the
     (a, b) output-parity class of ``conv3x3_SAME(upsample2x_nearest(x))``.
 
@@ -757,7 +807,7 @@ def _parity_taps(k3: jnp.ndarray, a: int, b: int, W: int):
                ((0, kr[0] + kr[1]), (1, kr[2]))
         for dx, kc in cols:
             taps.append(kc)                              # [Cin, Cout]
-            offs.append(dy * (W + 2) + dx)
+            offs.append(dy * rs + dx)
     return jnp.stack(taps, 0), tuple(offs)
 
 
@@ -784,7 +834,7 @@ def upconv_plane(xp: jnp.ndarray, k3: jnp.ndarray, H: int, W: int,
     for a in (0, 1):
         row = []
         for b in (0, 1):
-            taps, offs = _parity_taps(k3, a, b, W)
+            taps, offs = _parity_taps(k3, a, b, geo_in.rs)
             o, s, sq = plane_conv_taps_stats(xp, taps, mask_in, H, W,
                                              geo_in, offs)
             ssum, ssq = ssum + s, ssq + sq
@@ -792,10 +842,10 @@ def upconv_plane(xp: jnp.ndarray, k3: jnp.ndarray, H: int, W: int,
         quads.append(row)
     q = jnp.stack([jnp.stack(r, 0) for r in quads], 0)   # [a, b, B, Co, H, W]
     q = q.transpose(2, 3, 4, 0, 5, 1).reshape(B, cout, 2 * H, 2 * W)
-    Po = (2 * H + 2) * (2 * W + 2)
-    qp = jnp.pad(q, ((0, 0), (0, 0), (1, 1), (1, 1))).reshape(B, cout, Po)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (1, 1), (1, geo_out.rs - 2 * W - 1)))
+    qp = qp.reshape(B, cout, geo_out.P)
     out = jnp.pad(qp, ((0, 0), (0, 0),
-                       (geo_out.mb, geo_out.lbuf - Po - geo_out.mb)))
+                       (geo_out.mb, geo_out.lbuf - geo_out.P - geo_out.mb)))
     return out, ssum, ssq
 
 
@@ -814,13 +864,13 @@ def use_plane_upconv(features: int, cin: int, spatial_in: Tuple[int, int],
     NHWC-interleaved XLA formulation."""
     import os
     H, W = spatial_in
-    fits = dtype == jnp.bfloat16 or (H + 2) * (W + 2) <= 20000
     try:
         geo = pick_geometry(H, W, max(cin, features),
                             jnp.dtype(dtype).itemsize)
     except ValueError:
         return False
-    eligible = fits and (W + 3 <= geo.pad)
+    fits = dtype == jnp.bfloat16 or geo.P <= 20000
+    eligible = fits and (geo.rs + 1 <= geo.pad)
     knob = os.environ.get("CONTRASTYOU_PLANE_UPCONV", "up2")
     if knob == "0":
         return False                      # A/B knob (measured on-chip)
