@@ -127,6 +127,137 @@ def grid_sample(images: jnp.ndarray, coords: jnp.ndarray, *, order: int,
             + v10 * (1 - wx) * wy + v11 * wx * wy)
 
 
+def _fast_warp_enabled() -> bool:
+    """Fast-path gate for the nearest-neighbour warp: the TPU backend runs
+    take_along_axis gathers at ~100M indices/s, so the two warp gathers of
+    the semi step cost 5.4 ms (round-3 trace, the single largest source
+    line). The decomposed warp below replaces them with MXU one-hot
+    resamples + barrel-shifted shears (~0.2 ms). CONTRASTYOU_FAST_WARP=0
+    forces the reference-faithful single-gather path; =1 forces the fast
+    path (CPU included — how the test suite covers it); default: fast on
+    TPU only."""
+    import os
+    raw = os.environ.get("CONTRASTYOU_FAST_WARP", "")
+    if raw == "0":
+        return False
+    if raw == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _barrel_shift(x: jnp.ndarray, shift: jnp.ndarray, axis: int,
+                  size: int) -> jnp.ndarray:
+    """Per-row/column lane shift by a DATA-DEPENDENT integer amount without
+    a gather: out[.., p, ..] = x[.., p + shift, ..] (wrap; callers mask the
+    out-of-range wrap-around). ``shift`` broadcasts against x with the
+    shifted ``axis`` removed (e.g. [B, H] for axis=2 on [B, H, W, C]).
+    Implemented as a log2(size) conditional-roll cascade (a barrel
+    shifter): every stage is one static jnp.roll + select, all
+    bandwidth-bound VPU work."""
+    r = jnp.mod(shift, size)                       # [B, rows] in [0, size)
+    bshape = list(x.shape)
+    bshape[axis] = 1
+    for s in range(int(math.ceil(math.log2(max(size, 2))))):
+        bit = ((r >> s) & 1).astype(bool)
+        bit = bit.reshape(bit.shape + (1,) * (x.ndim - bit.ndim - 1))
+        bit = jnp.expand_dims(bit, axis)
+        x = jnp.where(bit, jnp.roll(x, -(1 << s), axis=axis), x)
+    return x
+
+
+def _pass_1d(x: jnp.ndarray, slope: jnp.ndarray, rowc: jnp.ndarray,
+             const: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Nearest 1-D resample along ``axis`` with the per-sample linear index
+    map ``src = slope*p_axis + rowc*p_other + const`` and zeros padding —
+    gather-free:
+
+    split ``rowc*p_other + const = k + f`` (integer + fractional): the
+    integer part is a per-row barrel shift of the INPUT; then
+    ``round(slope*p + f) = round(slope*p) + n`` with ``n in {-1,0,1}``
+    decided by the fractional threshold — three candidate one-hot MXU
+    resamples (shared across rows) and an elementwise 3-way select."""
+    B, H, W, C = x.shape
+    size = W if axis == 2 else H
+    osize = size
+    p = jnp.arange(osize, dtype=jnp.float32)
+    other = jnp.arange(H if axis == 2 else W, dtype=jnp.float32)
+    cr = rowc[:, None] * other[None, :] + const[:, None]     # [B, other]
+    k = jnp.round(cr).astype(jnp.int32)
+    f = cr - k                                               # [-0.5, 0.5]
+    sp = slope[:, None] * p[None, :]                         # [B, out]
+    r = jnp.round(sp).astype(jnp.int32)
+    t = sp - r                                               # [-0.5, 0.5]
+    xs = _barrel_shift(x, k, axis=axis, size=size)
+    # three candidate resamples in[.., r + n, ..] as ONE stacked one-hot
+    # wrap the candidate rows mod size: the barrel shift is cyclic, so the
+    # true input index (k + r + n) mod size is what xs is addressed by;
+    # out-of-range TRUE indices are zeroed by the validity mask below
+    sel = (jnp.mod(r[:, :, None, None]
+                   + jnp.arange(-1, 2)[None, None, :, None], size)
+           == jnp.arange(size)[None, None, None, :])         # [B,out,3,in]
+    sel = sel.astype(x.dtype)
+    if axis == 2:
+        cand = jnp.einsum("bhwc,bonw->bhonc", xs, sel)       # [B,H,out,3,C]
+        d = t[:, None, :] + f[:, :, None]                    # [B, H, out]
+        src = (r[:, None, :] + k[:, :, None])                # [B, H, out]
+    else:
+        cand = jnp.einsum("bhwc,bonh->bonwc", xs, sel)       # [B,out,3,W,C]
+        cand = jnp.moveaxis(cand, 2, -2)                     # [B,out,W,3,C]
+        d = t[:, :, None] + f[:, None, :]                    # [B, out, W]
+        src = (r[:, :, None] + k[:, None, :])                # [B, out, W]
+    # candidate id with jnp.round (half-to-even) semantics at d == +-0.5:
+    # round(m + 0.5) = m when m even, m+1 when m odd (and mirrored at -0.5)
+    odd = (src % 2) == 1
+    n = jnp.where(
+        (d > 0.5) | ((d == 0.5) & odd), 2,
+        jnp.where((d < -0.5) | ((d == -0.5) & odd), 0, 1))   # candidate id
+    oh = (n[..., None] == jnp.arange(3)[None, None, None, :])
+    out = (cand * oh[..., None].astype(x.dtype)).sum(-2)
+    valid = ((src + (n - 1) >= 0) & (src + (n - 1) < size))
+    return out * valid[..., None].astype(x.dtype)
+
+
+def _apply_geometric_fast(images: jnp.ndarray, params: GeoParams,
+                          ) -> jnp.ndarray:
+    """Nearest-neighbour affine warp WITHOUT gathers: the classic two-pass
+    decomposition (Catmull & Smith '80) — a horizontal 1-D resample whose
+    per-row offsets account for the rotation, then a vertical 1-D resample
+    — with each 1-D pass built from a per-row integer barrel shift + three
+    shared one-hot MXU resamples + a fractional select (:func:`_pass_1d`),
+    and the mirror as output reverses.
+
+    Same contract as the gather path (same GeoParams -> identical warp for
+    images and logits, zeros padding): the vertical index rounds exactly
+    like the gather path; the horizontal index can differ by at most 1 px
+    where the rounded row disagrees with the exact row (|dx| <=
+    0.5*|tan(angle)|) — an equivalent augmentation, NOT bit-identical
+    (tests assert the contract and high exact-pixel agreement at reference
+    parameter ranges). Requires square inputs. The horizontal-pass slope
+    has a 1/L11 factor, so |angle| is safe up to ~70 deg (reference range
+    45); beyond that the pass-1 slope is clamped (still a bounded, valid
+    warp — set CONTRASTYOU_FAST_WARP=0 for reference-faithful semantics at
+    extreme angles)."""
+    B, H, W, C = images.shape
+    assert H == W, (H, W)
+    mats = affine_matrices(params)                 # [B, 2, 3], no flips
+    L = mats[:, :, :2]
+    # exact pixel-coord affine map q_pix = L p_pix + o (square H == W)
+    pn0 = 1.0 / W - 1.0                            # normalized coord of pixel 0
+    qn0 = (L @ jnp.array([pn0, pn0])[:, None])[:, :, 0]      # [B, 2]
+    o = (qn0 + mats[:, :, 2] + 1.0) * (0.5 * W) - 0.5        # [B, 2]
+    a, b = L[:, 0, 0], L[:, 0, 1]
+    c, dd = L[:, 1, 0], L[:, 1, 1]
+    e, fo = o[:, 0], o[:, 1]
+    # guard the 1/d factor (degenerate near +-90 deg; see docstring)
+    dsafe = jnp.where(jnp.abs(dd) < 0.3, jnp.where(dd < 0, -0.3, 0.3), dd)
+    # pass 1 (horizontal): m[i, jo] = in[i, round(s1*jo + (b/d)*i + cc)]
+    s1 = a - b * c / dsafe
+    m = _pass_1d(images, s1, b / dsafe, e - b * fo / dsafe, axis=2)
+    # pass 2 (vertical): out[io, jo] = m[round(d*io + c*jo + f), jo]
+    out = _pass_1d(m, dd, c, fo, axis=1)
+    return apply_flips(out, params)
+
+
 def apply_flips(images: jnp.ndarray, params: GeoParams) -> jnp.ndarray:
     out = jnp.where(params.flip_h[:, None, None, None],
                     images[:, ::-1, :, :], images)
@@ -142,8 +273,14 @@ def apply_geometric(images: jnp.ndarray, params: GeoParams, *, order: int = 1,
     warp sampled at mirrored output coords, and normalized pixel-center
     coords are exact sign flips), so the whole geometric transform is ONE
     gather instead of gather + two masked-select passes (+ their
-    backward) — identical outputs for identical ``GeoParams``."""
+    backward) — identical outputs for identical ``GeoParams``.
+
+    order=0 + zeros padding + square input routes through the gather-free
+    decomposed warp on TPU (see :func:`_fast_warp_enabled`)."""
     B, H, W, _ = images.shape
+    if (order == 0 and padding == "zeros" and H == W
+            and _fast_warp_enabled()):
+        return _apply_geometric_fast(images, params)
     mats = affine_matrices(params)
     sign_x = jnp.where(params.flip_w, -1.0, 1.0)
     sign_y = jnp.where(params.flip_h, -1.0, 1.0)
