@@ -649,10 +649,17 @@ def convblock_stage(x: jnp.ndarray, skip: Optional[jnp.ndarray],
     xp = x if plane_info is not None else to_planes(x, dtype, geo)
     assert xp.shape[-1] == geo.lbuf, (xp.shape, geo)
     if skip is not None:
-        # conv over concat = sum of two convs; stats of the SUM are not the
-        # sum of per-conv stats (sumsq is nonlinear), so reduce in XLA here
         sp = skip if skip_is_plane else to_planes(skip, dtype, geo)
         assert sp.shape[-1] == geo.lbuf, (sp.shape, geo)
+        # conv over concat = sum of two convs; stats of the SUM are not the
+        # sum of per-conv stats (sumsq is nonlinear), so reduce in XLA here.
+        # (Round-3 negative result: running conv0 as ONE kernel call on the
+        # channel-concat planes is VMEM-INFEASIBLE — the full-plane input
+        # block is double-buffered across the batch grid, so the concat
+        # needs 2*(cs+cin)*Lbuf*2B of VMEM: 15.7 MB for 64ch at the 224^2
+        # Lbuf, 12.6 MB + 3.2 MB dyg scratch for 128ch at 112^2 — both past
+        # the 16 MB budget. The two-call form keeps each input at half
+        # that and is the only layout that fits.)
         p0 = (plane_conv(sp, k0[:, :, :cs], mask, H, W, geo)
               + plane_conv(xp, k0[:, :, cs:], mask, H, W, geo)).astype(dtype)
         s0, sq0 = masked_stats_per_sample(p0, mask)

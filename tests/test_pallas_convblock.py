@@ -65,6 +65,37 @@ def test_stage_grads_match_xla_path(monkeypatch):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_skip_path_grads_and_stats_match_xla(monkeypatch):
+    """The two-slice-conv skip form (the only VMEM-feasible layout — see the
+    round-3 negative result in convblock_stage) must match the XLA ConvBlock
+    path in forward, batch-stat updates, and grads wrt params/x/skip."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 12, 14, 8)), jnp.float32)
+    skip = jnp.asarray(rng.standard_normal((2, 12, 14, 8)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((2, 12, 14, 16)), jnp.float32)
+    block = _mkblock()
+    v = _init(block, x, skip)
+
+    def loss(params, xx, ss):
+        y, mut = block.apply({"params": params,
+                              "batch_stats": v["batch_stats"]}, xx,
+                             skip=ss, train=True, mutable=["batch_stats"])
+        return jnp.mean((y - tgt) ** 2), (y, mut)
+
+    monkeypatch.setenv("CONTRASTYOU_PALLAS_CONV", "0")
+    g_ref, (y_ref, mut_ref) = jax.grad(loss, (0, 1, 2), has_aux=True)(
+        v["params"], x, skip)
+    monkeypatch.setenv("CONTRASTYOU_PALLAS_CONV", "1")
+    g_pal, (y_pal, mut_pal) = jax.grad(loss, (0, 1, 2), has_aux=True)(
+        v["params"], x, skip)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree.leaves((g_pal, mut_pal)),
+                    jax.tree.leaves((g_ref, mut_ref))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_eval_path_ignores_gate(monkeypatch):
     # eval always uses the XLA running-stat path regardless of the gate
     rng = np.random.default_rng(2)

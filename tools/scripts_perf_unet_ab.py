@@ -38,8 +38,10 @@ def build(mode: str):
         "plane-up2": "up2", "plane-up3": "up3"}.get(mode, "up2")
     os.environ["CONTRASTYOU_PLANE_DYG"] = (
         "0" if mode == "plane-nodyg" else "1")
+    # production default is align OFF (measured worse end-to-end);
+    # "plane-align" opts in for re-measurement
     os.environ["CONTRASTYOU_PLANE_ALIGN"] = (
-        "0" if mode == "plane-noalign" else "1")
+        "1" if mode == "plane-align" else "0")
     model = UNet(input_dim=1, num_classes=4, max_channel=512)
     x0 = jnp.asarray(np.random.default_rng(0).standard_normal((B, H, H, 1)),
                      jnp.bfloat16)
