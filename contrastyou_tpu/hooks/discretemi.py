@@ -67,17 +67,44 @@ class DiscreteMITrainHook(TrainerHook):
         return jax.vmap(lambda a, b: iid_segmentation_loss(
             a, b, padding=self._padding))(p1, p2)
 
+    def _dense_linear(self) -> bool:
+        return not self._is_encoder and self._projector.head_type == "linear"
+
     def _use_merged(self) -> bool:
         """Dense linear heads route through the MXU-merged formulation
         (projection + displacement joints in the S*K-lane layout; round-3
         udaiic optimization, BENCH_NOTES). CONTRASTYOU_IIC_MERGED=0 falls
         back to the vmapped per-subhead path (the equivalence-test A/B)."""
         import os
-        return (not self._is_encoder
-                and self._projector.head_type == "linear"
-                and os.environ.get("CONTRASTYOU_IIC_MERGED", "1") != "0")
+        return (self._dense_linear()
+                and os.environ.get("CONTRASTYOU_IIC_MERGED", "1")
+                not in ("0", "kernel"))
+
+    def _use_kernel(self) -> bool:
+        from ..ops.pallas.iic import use_iic_kernel
+        return self._dense_linear() and use_iic_kernel()
 
     def loss(self, ctx: StepContext, params, state):
+        if self._use_kernel():
+            from ..losses.discrete_mi import iid_loss_from_raw_joints
+            from ..ops.pallas.iic import fused_dense_iic_raw_joints
+            feat = ctx.unlabeled_taps[self._feature_name]
+            feat_tf = ctx.unlabeled_tf_taps[self._feature_name]
+            conv = params["Vmap_DenseSubHead_0"]["Conv_0"]
+            S = self._projector.num_subheads
+            K = self._projector.num_clusters
+            C = conv["kernel"].shape[-2]
+            w = jnp.transpose(conv["kernel"].reshape(S, C, K),
+                              (1, 0, 2)).reshape(C, S * K)
+            b = conv["bias"].reshape(S * K)
+            raw = fused_dense_iic_raw_joints(
+                w, b, ctx.affine_transformer(feat), feat_tf,
+                num_subheads=S, num_clusters=K, padding=self._padding,
+                T=self._projector.T)
+            B, H, W = feat.shape[0], feat.shape[1], feat.shape[2]
+            mi = iid_loss_from_raw_joints(
+                raw, padding=self._padding, count=B * H * W).mean()
+            return mi, state, {"mi": mi}
         if self._use_merged():
             from ..losses.discrete_mi import iid_segmentation_loss_merged
             from ..models.projectors import dense_cluster_probs_merged

@@ -232,21 +232,16 @@ def _merged_displacement_joints(p1m: jnp.ndarray, p2m: jnp.ndarray,
     return jnp.transpose(joint, (2, 0, 1, 3, 4))  # [S, T, T, K, K]
 
 
-def iid_segmentation_loss_merged(p1m: jnp.ndarray, p2m: jnp.ndarray, *,
-                                 num_subheads: int, num_clusters: int,
-                                 lamda: float = 1.0, padding: int = 0,
-                                 eps: float = 1e-5, symmetric: bool = False
-                                 ) -> jnp.ndarray:
-    """Per-subhead spatial IIC losses [S] from MERGED probability maps
-    [B, H, W, S*K] — numerically identical to
-    ``vmap(iid_segmentation_loss)`` over the [S, B, H, W, K] form (same
-    joints, same normalization; asserted by test_losses_merged), computed
-    through MXU-efficient merged contractions."""
-    S, K = num_subheads, num_clusters
+def iid_loss_from_raw_joints(raw: jnp.ndarray, *, padding: int, count: int,
+                             lamda: float = 1.0, eps: float = 1e-5,
+                             symmetric: bool = False) -> jnp.ndarray:
+    """Per-subhead IIC losses [S] from RAW (unnormalized) displacement
+    joints [S, T, T, K, K] — the shared tail of the merged XLA path and
+    the fused Pallas kernel (ops/pallas/iic.py). ``count`` = number of
+    pixel pairs per displacement (B*H*W; only used for padding == 0, where
+    the merged path normalizes by 1/n instead of the min-shift chain)."""
     T = padding * 2 + 1
     if padding > 0:
-        raw = _merged_displacement_joints(p1m, p2m, S, K, padding)
-
         def normalize(j):
             j = j - lax.stop_gradient(j.min()) + 1e-8
             j = j / j.sum(axis=(2, 3), keepdims=True)
@@ -256,14 +251,7 @@ def iid_segmentation_loss_merged(p1m: jnp.ndarray, p2m: jnp.ndarray, *,
 
         p_i_j = jax.vmap(normalize)(raw)
     else:
-        B, H, W, _ = p1m.shape
-        n = B * H * W
-        a = p1m.reshape(n, S * K) / math.sqrt(n)
-        b = p2m.reshape(n, S * K) / math.sqrt(n)
-        m = jnp.einsum("ni,nj->ij", a, b, preferred_element_type=jnp.float32)
-        m4 = m.reshape(S, K, S, K)
-        diag = jnp.arange(S)
-        p_i_j = m4[diag, :, diag, :]
+        p_i_j = raw[:, 0, 0] / count
         if symmetric:
             p_i_j = (p_i_j + jnp.transpose(p_i_j, (0, 2, 1))) / 2.0
         p_i_j = p_i_j[:, None, None]              # [S, 1, 1, K, K]
@@ -277,3 +265,30 @@ def iid_segmentation_loss_merged(p1m: jnp.ndarray, p2m: jnp.ndarray, *,
         return loss.sum() / (T * T)
 
     return jax.vmap(tail)(p_i_j)
+
+
+def iid_segmentation_loss_merged(p1m: jnp.ndarray, p2m: jnp.ndarray, *,
+                                 num_subheads: int, num_clusters: int,
+                                 lamda: float = 1.0, padding: int = 0,
+                                 eps: float = 1e-5, symmetric: bool = False
+                                 ) -> jnp.ndarray:
+    """Per-subhead spatial IIC losses [S] from MERGED probability maps
+    [B, H, W, S*K] — numerically identical to
+    ``vmap(iid_segmentation_loss)`` over the [S, B, H, W, K] form (same
+    joints, same normalization; asserted by test_losses_merged), computed
+    through MXU-efficient merged contractions."""
+    S, K = num_subheads, num_clusters
+    B, H, W, _ = p1m.shape
+    n = B * H * W
+    if padding > 0:
+        raw = _merged_displacement_joints(p1m, p2m, S, K, padding)
+    else:
+        a = p1m.reshape(n, S * K) / math.sqrt(n)
+        b = p2m.reshape(n, S * K) / math.sqrt(n)
+        m = jnp.einsum("ni,nj->ij", a, b, preferred_element_type=jnp.float32)
+        m4 = m.reshape(S, K, S, K)
+        diag = jnp.arange(S)
+        raw = m4[diag, :, diag, :][:, None, None]  # already /n
+    return iid_loss_from_raw_joints(raw, padding=padding,
+                                    count=1 if padding == 0 else n,
+                                    lamda=lamda, eps=eps, symmetric=symmetric)

@@ -106,8 +106,12 @@ def use_pallas_stage(features: int, dtype=jnp.bfloat16,
         return False
     fits = dtype == jnp.bfloat16 or geo.P <= 20000
     halo_ok = geo.rs + 1 <= geo.pad
-    deep_ok = (features <= 64
-               or os.environ.get("CONTRASTYOU_PALLAS_DEEP", "") == "1")
+    deep = os.environ.get("CONTRASTYOU_PALLAS_DEEP", "")
+    # "1" routes every deep level; a comma list of feature widths routes
+    # only those levels (e.g. "128" = the 56^2 Conv3/Up_conv4 pair) — the
+    # per-level on-chip A/B knob (BENCH_NOTES round 3)
+    deep_ok = (features <= 64 or deep == "1"
+               or str(features) in deep.split(","))
     eligible = fits and halo_ok and deep_ok
     raw = os.environ.get("CONTRASTYOU_PALLAS_CONV", "")
     if raw == "0":

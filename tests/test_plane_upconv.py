@@ -25,7 +25,9 @@ def _geo(H, W, cmax):
     return cb.pick_geometry(H, W, cmax, 4)
 
 
-def test_upconv_plane_matches_xla_forward():
+@pytest.mark.parametrize("ilv2", ["0", "1"])
+def test_upconv_plane_matches_xla_forward(ilv2, monkeypatch):
+    monkeypatch.setenv("CONTRASTYOU_PLANE_ILV2", ilv2)
     rng = np.random.default_rng(0)
     B, H, W, cin, cout = 2, 6, 10, 8, 16
     x = jnp.asarray(rng.standard_normal((B, H, W, cin)), jnp.float32)

@@ -119,14 +119,21 @@ def main():
            DiscreteMITrainHook(name="iic", feature_name="Up_conv2",
                                weight=0.1, num_clusters=20, num_subheads=5,
                                padding=1)]
+    # argv selects variants (default: the full original sweep); e.g.
+    #   scripts_perf_iic.py 2pass-merged 2pass-cons 2pass-fusediic
+    sel = sys.argv[1:] or ["2pass-cons", "2pass-vmapped", "2pass-merged",
+                           "fused-cons", "fused-vmapped", "fused-merged"]
     for fused in ("0", "1"):
         os.environ["CONTRASTYOU_FUSED_TWOSTAGE"] = fused
         tag = "fused" if fused == "1" else "2pass"
-        timed(f"consistency step [{tag}]", *build_step(cons))
-        for merged in ("0", "1"):
+        if f"{tag}-cons" in sel:
+            timed(f"consistency step [{tag}]", *build_step(cons))
+        for merged in ("0", "1", "kernel"):
             os.environ["CONTRASTYOU_IIC_MERGED"] = merged
-            mtag = "merged" if merged == "1" else "vmapped"
-            timed(f"udaiic step [{tag},{mtag}]", *build_step(iic))
+            mtag = {"0": "vmapped", "1": "merged",
+                    "kernel": "fusediic"}[merged]
+            if f"{tag}-{mtag}" in sel:
+                timed(f"udaiic step [{tag},{mtag}]", *build_step(iic))
 
 
 if __name__ == "__main__":

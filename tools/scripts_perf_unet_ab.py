@@ -29,8 +29,9 @@ INNER, CALLS, WARM = 4, 6, 1
 
 def build(mode: str):
     os.environ["CONTRASTYOU_PALLAS_CONV"] = "0" if mode == "all-xla" else "1"
-    os.environ["CONTRASTYOU_PALLAS_DEEP"] = (
-        "1" if mode == "plane-deep" else "0")
+    os.environ["CONTRASTYOU_PALLAS_DEEP"] = {
+        "plane-deep": "1", "plane-deep128": "128",
+        "plane-deep128-256": "128,256"}.get(mode, "0")
     os.environ["CONTRASTYOU_PLANE_CHAIN"] = (
         "0" if mode == "plane-nochain" else "1")
     os.environ["CONTRASTYOU_PLANE_UPCONV"] = {
@@ -42,6 +43,10 @@ def build(mode: str):
     # "plane-align" opts in for re-measurement
     os.environ["CONTRASTYOU_PLANE_ALIGN"] = (
         "1" if mode == "plane-align" else "0")
+    # two-phase interleave is the production default (measured 17.41 ->
+    # 16.12 ms whole-model); "plane-noilv2" re-measures the 6-D transpose
+    os.environ["CONTRASTYOU_PLANE_ILV2"] = (
+        "0" if mode == "plane-noilv2" else "1")
     model = UNet(input_dim=1, num_classes=4, max_channel=512)
     x0 = jnp.asarray(np.random.default_rng(0).standard_normal((B, H, H, 1)),
                      jnp.bfloat16)
