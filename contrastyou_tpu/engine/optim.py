@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Callable, Mapping, Optional, Tuple
 
+import jax
+import jax.numpy as jnp
 import optax
 
 _OPTIMIZERS = {
@@ -34,6 +36,78 @@ def warmup_cosine_schedule(*, base_lr: float, multiplier: float,
         [optax.linear_schedule(base_lr, peak, warm_steps),
          optax.cosine_decay_schedule(peak, rest, alpha=eta_min / max(peak, 1e-30))],
         boundaries=[warm_steps])
+
+
+def _fused_opt_enabled() -> bool:
+    import os
+    return os.environ.get("CONTRASTYOU_FUSED_OPT", "1") != "0"
+
+
+def _pack_groups(leaves, threshold: int):
+    """Static packing plan: indices of small floating leaves grouped by
+    dtype (deterministic given the tree, so init/update always agree)."""
+    small = [i for i, l in enumerate(leaves)
+             if l.size <= threshold and jnp.issubdtype(l.dtype, jnp.floating)]
+    groups: dict = {}
+    for i in small:
+        groups.setdefault(str(leaves[i].dtype), []).append(i)
+    return tuple((dt, tuple(idx)) for dt, idx in sorted(groups.items()))
+
+
+def _pack(tree, threshold: int):
+    leaves, _ = jax.tree.flatten(tree)
+    groups = _pack_groups(leaves, threshold)
+    small_set = {i for _, idx in groups for i in idx}
+    fused = tuple(jnp.concatenate([leaves[i].ravel() for i in idx])
+                  for _, idx in groups)
+    rest = tuple(l for i, l in enumerate(leaves) if i not in small_set)
+    return fused, rest
+
+
+def _unpack(packed, like_tree, threshold: int):
+    fused, rest = packed
+    leaves, treedef = jax.tree.flatten(like_tree)
+    groups = _pack_groups(leaves, threshold)
+    out: list = [None] * len(leaves)
+    for gi, (_, idx) in enumerate(groups):
+        off = 0
+        for i in idx:
+            n = leaves[i].size
+            out[i] = fused[gi][off:off + n].reshape(leaves[i].shape)
+            off += n
+    rest_it = iter(rest)
+    for i in range(len(out)):
+        if out[i] is None:
+            out[i] = next(rest_it)
+    return jax.tree.unflatten(treedef, out)
+
+
+def fuse_small_leaves(tx: optax.GradientTransformation,
+                      threshold: int = 8192) -> optax.GradientTransformation:
+    """Run ``tx`` on a packed tree where every leaf with <= ``threshold``
+    elements is raveled into one per-dtype vector.
+
+    EXACT for elementwise transforms (adam/radam/sgd/add_decayed_weights
+    with a global schedule — everything create_optimizer builds): packing
+    only changes how elements are grouped into XLA ops, not the per-element
+    math (bit-identical; tests/test_fused_opt.py). Why: the round-3 step
+    trace showed ~2 ms/step of [32]/[64]-sized update fusions + their
+    copy-dones — one fixed-latency op cluster per BN scale/bias leaf (~47
+    per step). Packed, the whole small-leaf population updates in a couple
+    of fused vector ops. NOT valid around per-leaf-labelled transforms
+    (optax.multi_transform) — create_optimizer skips it when freezing
+    labels are in play."""
+
+    def init(params):
+        return tx.init(_pack(params, threshold))
+
+    def update(updates, state, params=None):
+        pu = _pack(updates, threshold)
+        pp = _pack(params, threshold) if params is not None else None
+        new_u, new_state = tx.update(pu, state, pp)
+        return _unpack(new_u, updates, threshold), new_state
+
+    return optax.GradientTransformation(init, update)
 
 
 def create_optimizer(optim_params: Mapping, scheduler_params: Optional[Mapping],
@@ -72,6 +146,8 @@ def create_optimizer(optim_params: Mapping, scheduler_params: Optional[Mapping],
     if param_labels is not None:
         tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()},
                                    param_labels)
+    elif _fused_opt_enabled():
+        tx = fuse_small_leaves(tx)
     if accumulate_iter > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate_iter)
     return tx, schedule

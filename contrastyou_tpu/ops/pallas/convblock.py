@@ -476,6 +476,133 @@ def _partitioned_conv(rs: int, apply_bn: bool, _dtype_key: str,
     return fn
 
 
+def _dw_enabled() -> bool:
+    """Weight-grad Pallas kernel gate (CONTRASTYOU_PLANE_DW, default OFF).
+    Round-3 trace attributed ~5.2 ms of the 28.3 ms step to the XLA dk
+    path (9 sliced einsums + [T,Ci,Co]-producing DUS loop fusions), and in
+    isolation the kernel DID win (bench 327.2 -> 341.2 slices/s) — but the
+    win came from filling the small-op bubbles the fused optimizer update
+    (engine/optim.py fuse_small_leaves) also fills: with that landed,
+    DW=1 measures 342 vs 346.5 slices/s (three-run A/B, BENCH_NOTES).
+    XLA overlaps the einsums with the copies the kernel serializes behind
+    its patches rebuild. Kept as a knob for future toolchains."""
+    import os
+    return os.environ.get("CONTRASTYOU_PLANE_DW", "0") == "1"
+
+
+def _dw_plane_kernel(x_ref, g_ref, dk_ref, patches,
+                     *, offsets, cin: int, crep: int, mb: int, pad: int):
+    """grid (B, nj). dk[t*rows+i, o] += sum_m x[i, m+off_t] * g[o, m] for
+    the block's mb lanes — the same wide-load + static-roll patches build
+    as the forward kernel, then ONE [T*rows, mb] x [Cout, mb]^T matmul,
+    accumulated across the row-band grid steps into the per-batch output
+    block (revisited while ji varies — the fast axis)."""
+    ji = pl.program_id(1)
+    wide_lo = mb + ji * mb - pad
+    width = mb + 2 * pad
+    xw = x_ref[0, :, pl.ds(wide_lo, width)].astype(jnp.float32)
+    rows = cin * crep
+    dtype = patches.dtype
+    for t, off in enumerate(offsets):
+        rel = (-(pad + off)) % width
+        blk = pltpu.roll(xw, rel, 1)[:, :mb].astype(dtype)
+        if crep > 1:
+            blk = pltpu.repeat(blk, crep, 0)
+        patches[pl.ds(t * rows, rows), :] = blk
+    dk = jax.lax.dot_general(patches[:], g_ref[0],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+    @pl.when(ji == 0)
+    def _init():
+        dk_ref[0] = dk
+
+    @pl.when(ji > 0)
+    def _acc():
+        dk_ref[0] += dk
+
+
+def _dw_plane_call(xp, g, *, mb: int, pad: int, offsets, crep: int):
+    B, cin, Lbuf = xp.shape
+    cout = g.shape[1]
+    rows = cin * crep
+    T = len(offsets)
+    nj = Lbuf // mb - 2
+    kern = partial(_dw_plane_kernel, offsets=offsets, cin=cin, crep=crep,
+                   mb=mb, pad=pad)
+    return pl.pallas_call(
+        kern,
+        grid=(B, nj),
+        in_specs=[
+            pl.BlockSpec((1, cin, Lbuf), lambda bi, ji: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout, mb), lambda bi, ji: (bi, 0, ji + 1),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T * rows, cout), lambda bi, ji: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T * rows, cout), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((T * rows, mb), xp.dtype)],
+        interpret=_interpret(),
+    )(xp, g)
+
+
+@lru_cache(maxsize=None)
+def _partitioned_dw(mb: int, pad: int, offsets, crep: int, _dtype_key: str):
+    """GSPMD rule mirroring :func:`_partitioned_conv`: independent per
+    batch element, so each shard computes its local per-sample dk partials
+    and the caller's XLA sum over the batch axis is the global grad
+    reduction (exactly how DP grad sync wants it)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def _raw(xp, g):
+        return _dw_plane_call(xp, g, mb=mb, pad=pad, offsets=offsets,
+                              crep=crep)
+
+    fn = custom_partitioning(_raw)
+
+    def _batch_axis(arg_shapes):
+        spec = arg_shapes[0].sharding.spec
+        return spec[0] if len(spec) > 0 else None
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        baxis = _batch_axis(arg_shapes)
+        return NamedSharding(mesh, P(baxis, None, None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        baxis = _batch_axis(arg_shapes)
+        sh = NamedSharding(mesh, P(baxis, None, None))
+        return mesh, _raw, sh, (sh, sh)
+
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding,
+        sharding_rule="bb c l, bb o l2 -> bb k o2",
+        need_replication_factors=("c", "l", "o", "l2", "k", "o2"))
+    return fn
+
+
+def plane_conv_dw(xp: jnp.ndarray, g: jnp.ndarray, geo: PlaneGeo,
+                  offsets) -> jnp.ndarray:
+    """Weight gradient of a tap-set plane conv: dk [T, Cin, Cout] f32 from
+    input planes ``xp`` [B, Cin, Lbuf] and the MASKED output cotangent
+    ``g`` [B, Cout, Lbuf] (callers zero g on borders/guards, so lanes the
+    rolls wrap past genuine data contribute exactly zero)."""
+    B, cin, Lbuf = xp.shape
+    cout = g.shape[1]
+    offsets = tuple(offsets)
+    T = len(offsets)
+    if max(abs(o) for o in offsets) > geo.pad:
+        raise ValueError(f"dw tap offsets {offsets} exceed halo {geo.pad}")
+    crep = 1 if cin >= 8 else 8 // cin
+    f = _partitioned_dw(geo.mb, geo.pad, offsets, crep,
+                        str(jnp.dtype(xp.dtype)))
+    parts = f(xp, g.astype(xp.dtype))               # [B, T*crep*cin, Cout]
+    dk = parts.sum(0).reshape(T, crep, cin, cout)
+    return dk[:, 0]
+
+
 def bn_affine(stats_sum: jnp.ndarray, stats_sqsum: jnp.ndarray, count: float,
               scale: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-5):
     """Fold batch stats + BN params into the (a, b) of y = a*x + b.
@@ -531,16 +658,22 @@ def _plane_conv_bwd(H, W, geo, res, g):
     dxp, _ = conv_plane_geo(g, fold_kernel_transposed(kernel), mask, H, W,
                             geo=geo)
     dxp = jnp.where(mask[None] > 0, dxp, 0).astype(xp.dtype)
-    # dw: per-tap sliced einsum on planes (XLA fuses the lane slices into
-    # the dots; no materialized shifts). out[o,m] = sum_t,i k[t,i,o] *
-    # xp[i, m+off_t]  =>  dk[t,i,o] = sum_b,m xp[b,i,m+off_t] * g[b,o,m].
-    gs = g[:, :, gg.mb:gg.mb + gg.P].astype(jnp.float32)
-    dks = []
-    for off in tap_offsets(gg.rs):
-        xs = jax.lax.dynamic_slice_in_dim(xp, gg.mb + off, gg.P, 2)
-        dks.append(jnp.einsum("bim,bom->io", xs.astype(jnp.float32), gs,
-                              preferred_element_type=jnp.float32))
-    dk = jnp.stack(dks, 0).reshape(3, 3, *dks[0].shape)
+    # dw: dk[t,i,o] = sum_b,m xp[b,i,m+off_t] * g[b,o,m] via per-tap
+    # sliced einsums (XLA fuses the lane slices into the dots and overlaps
+    # them with copies). CONTRASTYOU_PLANE_DW=1 opts into the fused Pallas
+    # dW kernel — measured a net LOSS once the fused optimizer update
+    # landed (see _dw_enabled).
+    if _dw_enabled():
+        dk9 = plane_conv_dw(xp, g, gg, tap_offsets(gg.rs))
+        dk = dk9.reshape(3, 3, *dk9.shape[1:])
+    else:
+        gs = g[:, :, gg.mb:gg.mb + gg.P].astype(jnp.float32)
+        dks = []
+        for off in tap_offsets(gg.rs):
+            xs = jax.lax.dynamic_slice_in_dim(xp, gg.mb + off, gg.P, 2)
+            dks.append(jnp.einsum("bim,bom->io", xs.astype(jnp.float32), gs,
+                                  preferred_element_type=jnp.float32))
+        dk = jnp.stack(dks, 0).reshape(3, 3, *dks[0].shape)
     return dxp, dk.astype(kernel.dtype), None
 
 
@@ -783,13 +916,16 @@ def _pcts_bwd(H, W, geo, offsets, res, cot):
                             H, W, geo=geo, offsets=neg)
     dxp = jnp.where(mask[None] > 0, dxp, 0).astype(xp.dtype)
     # dk[t,i,o] = sum_{b,m} xp[b,i,m+off_t] * g[b,o,m] on the real plane
-    gs = g[:, :, geo.mb:geo.mb + geo.P].astype(jnp.float32)
-    dks = []
-    for off in offsets:
-        xs = jax.lax.dynamic_slice_in_dim(xp, geo.mb + off, geo.P, 2)
-        dks.append(jnp.einsum("bim,bom->io", xs.astype(jnp.float32), gs,
-                              preferred_element_type=jnp.float32))
-    dk = jnp.stack(dks, 0)
+    if _dw_enabled():
+        dk = plane_conv_dw(xp, g, geo, offsets)
+    else:
+        gs = g[:, :, geo.mb:geo.mb + geo.P].astype(jnp.float32)
+        dks = []
+        for off in offsets:
+            xs = jax.lax.dynamic_slice_in_dim(xp, geo.mb + off, geo.P, 2)
+            dks.append(jnp.einsum("bim,bom->io", xs.astype(jnp.float32), gs,
+                                  preferred_element_type=jnp.float32))
+        dk = jnp.stack(dks, 0)
     return dxp, dk.astype(kernel.dtype), None
 
 
