@@ -822,24 +822,130 @@ def _plane_interior(xp: jnp.ndarray, H: int, W: int,
     return core[:, :, 1:H + 1, 1:W + 1]
 
 
+def _pool_core(xp: jnp.ndarray, H: int, W: int, geo_in: PlaneGeo):
+    """Shared 2x2/stride-2 max core: guarded planes -> pooled interior
+    [B, C, H/2, W/2] via stride-2 slices (the layout that measured fastest
+    FORWARD — see the round-3 strided-slice rewrite)."""
+    B, C, _ = xp.shape
+    v = xp[:, :, geo_in.mb:geo_in.mb + geo_in.P].reshape(B, C, H + 2,
+                                                         geo_in.rs)
+    rows = jnp.maximum(v[:, :, 1:H + 1:2], v[:, :, 2:H + 2:2])
+    return jnp.maximum(rows[:, :, :, 1:W + 1:2], rows[:, :, :, 2:W + 2:2])
+
+
+def _pool_vjp_enabled() -> bool:
+    """The AD transpose of the stride-2 slice max turns into XLA scatter-add
+    fusions + layout copies (~1.1 ms/step in the round-3 post-fused-opt
+    trace). The hand-written backward below rebuilds the input-plane
+    cotangent with pair-interleave stack/reshape instead.
+    CONTRASTYOU_PLANE_POOLVJP=0 restores the AD transpose (A/B knob)."""
+    import os
+    return os.environ.get("CONTRASTYOU_PLANE_POOLVJP", "1") != "0"
+
+
+def _balanced_max_split(a: jnp.ndarray, b: jnp.ndarray, g: jnp.ndarray):
+    """Transpose of jnp.maximum(a, b): g to the larger side, split evenly
+    at exact ties — matches lax's _balanced_eq so the custom pool backward
+    is bit-identical to the AD transpose it replaces."""
+    ga = jnp.where(a == b, g * jnp.asarray(0.5, g.dtype),
+                   jnp.where(a > b, g, jnp.zeros_like(g)))
+    return ga, g - ga
+
+
+def _pool_bwd_planes(xp: jnp.ndarray, g_p: jnp.ndarray, H: int, W: int,
+                     geo_in: PlaneGeo) -> jnp.ndarray:
+    """Cotangent of :func:`_pool_core`: pooled-interior grad [B,C,H/2,W/2]
+    -> guarded input planes [B, C, Lbuf_in]. Recomputes the two max
+    operands from ``xp`` (cheap VPU slices), routes the gradient with
+    balanced tie-splitting, and materializes the stride-2 placement as
+    pair-interleave reshapes (contiguous in row-major; no scatter)."""
+    B, C, _ = xp.shape
+    Ho, Wo = H // 2, W // 2
+    v = xp[:, :, geo_in.mb:geo_in.mb + geo_in.P].reshape(B, C, H + 2,
+                                                         geo_in.rs)
+    ra = v[:, :, 1:H + 1:2]
+    rb = v[:, :, 2:H + 2:2]
+    rows = jnp.maximum(ra, rb)
+    ca = rows[:, :, :, 1:W + 1:2]
+    cb = rows[:, :, :, 2:W + 2:2]
+    gca, gcb = _balanced_max_split(ca, cb, g_p)
+    g_rows = jnp.stack([gca, gcb], -1).reshape(B, C, Ho, W)
+    g_rows = jnp.pad(g_rows, ((0, 0), (0, 0), (0, 0),
+                              (1, geo_in.rs - W - 1)))
+    gra, grb = _balanced_max_split(ra, rb, g_rows)
+    g_v = jnp.stack([gra, grb], 3).reshape(B, C, H, geo_in.rs)
+    g_v = jnp.pad(g_v, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    g_v = g_v.reshape(B, C, geo_in.P)
+    return jnp.pad(g_v, ((0, 0), (0, 0),
+                         (geo_in.mb, geo_in.lbuf - geo_in.P - geo_in.mb)))
+
+
+def _plane_maxpool_impl(xp: jnp.ndarray, H: int, W: int, geo_in: PlaneGeo,
+                        geo_out: PlaneGeo) -> jnp.ndarray:
+    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    B, C, _ = xp.shape
+    Ho, Wo = H // 2, W // 2
+    p = _pool_core(xp, H, W, geo_in)
+    pp = jnp.pad(p, ((0, 0), (0, 0), (1, 1), (1, geo_out.rs - Wo - 1)))
+    pp = pp.reshape(B, C, geo_out.P)
+    return jnp.pad(pp, ((0, 0), (0, 0),
+                        (geo_out.mb, geo_out.lbuf - geo_out.P - geo_out.mb)))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _plane_maxpool_cv(xp, H, W, geo_in, geo_out):
+    return _plane_maxpool_impl(xp, H, W, geo_in, geo_out)
+
+
+def _pmp_fwd(xp, H, W, geo_in, geo_out):
+    return _plane_maxpool_impl(xp, H, W, geo_in, geo_out), xp
+
+
+def _pmp_bwd(H, W, geo_in, geo_out, xp, g):
+    B, C, _ = xp.shape
+    Ho, Wo = H // 2, W // 2
+    gc = g[:, :, geo_out.mb:geo_out.mb + geo_out.P]
+    gc = gc.reshape(B, C, Ho + 2, geo_out.rs)
+    g_p = gc[:, :, 1:Ho + 1, 1:Wo + 1]
+    return (_pool_bwd_planes(xp, g_p, H, W, geo_in),)
+
+
+_plane_maxpool_cv.defvjp(_pmp_fwd, _pmp_bwd)
+
+
 def plane_maxpool(xp: jnp.ndarray, H: int, W: int, geo_in: PlaneGeo,
                   geo_out: PlaneGeo) -> jnp.ndarray:
     """2x2/stride-2 max-pool entirely in plane layout: [B, C, Lbuf_in] at
     (H, W) -> guarded planes [B, C, Lbuf_out] at (H/2, W/2). Replaces the
     from_planes -> nn.max_pool -> to_planes round-trip between chained
     plane stages (two full channel<->spatial transposes of the wide
-    activations) with lane-local reshapes/max/pads."""
+    activations) with lane-local reshapes/max/pads. Backward is a custom
+    scatter-free VJP (see :func:`_pool_vjp_enabled`)."""
+    if _pool_vjp_enabled():
+        return _plane_maxpool_cv(xp, H, W, geo_in, geo_out)
+    return _plane_maxpool_impl(xp, H, W, geo_in, geo_out)
+
+
+def _plane_maxpool_to_nhwc_impl(xp: jnp.ndarray, H: int, W: int,
+                                geo: PlaneGeo) -> jnp.ndarray:
     assert H % 2 == 0 and W % 2 == 0, (H, W)
-    B, C, _ = xp.shape
-    Ho, Wo = H // 2, W // 2
-    v = xp[:, :, geo_in.mb:geo_in.mb + geo_in.P].reshape(B, C, H + 2,
-                                                         geo_in.rs)
-    rows = jnp.maximum(v[:, :, 1:H + 1:2], v[:, :, 2:H + 2:2])
-    p = jnp.maximum(rows[:, :, :, 1:W + 1:2], rows[:, :, :, 2:W + 2:2])
-    pp = jnp.pad(p, ((0, 0), (0, 0), (1, 1), (1, geo_out.rs - Wo - 1)))
-    pp = pp.reshape(B, C, geo_out.P)
-    return jnp.pad(pp, ((0, 0), (0, 0),
-                        (geo_out.mb, geo_out.lbuf - geo_out.P - geo_out.mb)))
+    return _pool_core(xp, H, W, geo).transpose(0, 2, 3, 1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _plane_maxpool_to_nhwc_cv(xp, H, W, geo):
+    return _plane_maxpool_to_nhwc_impl(xp, H, W, geo)
+
+
+def _pmpn_fwd(xp, H, W, geo):
+    return _plane_maxpool_to_nhwc_impl(xp, H, W, geo), xp
+
+
+def _pmpn_bwd(H, W, geo, xp, g):
+    return (_pool_bwd_planes(xp, g.transpose(0, 3, 1, 2), H, W, geo),)
+
+
+_plane_maxpool_to_nhwc_cv.defvjp(_pmpn_fwd, _pmpn_bwd)
 
 
 def plane_maxpool_to_nhwc(xp: jnp.ndarray, H: int, W: int,
@@ -847,13 +953,11 @@ def plane_maxpool_to_nhwc(xp: jnp.ndarray, H: int, W: int,
     """2x2/stride-2 max-pool from planes at (H, W) straight to NHWC
     [B, H/2, W/2, C] — for a plane-stage output feeding an XLA conv level.
     The channel<->spatial transpose happens AFTER pooling (4x fewer
-    bytes than from_planes at full resolution followed by nn.max_pool)."""
-    assert H % 2 == 0 and W % 2 == 0, (H, W)
-    B, C, _ = xp.shape
-    v = xp[:, :, geo.mb:geo.mb + geo.P].reshape(B, C, H + 2, geo.rs)
-    rows = jnp.maximum(v[:, :, 1:H + 1:2], v[:, :, 2:H + 2:2])
-    p = jnp.maximum(rows[:, :, :, 1:W + 1:2], rows[:, :, :, 2:W + 2:2])
-    return p.transpose(0, 2, 3, 1)
+    bytes than from_planes at full resolution followed by nn.max_pool).
+    Backward is a custom scatter-free VJP (see :func:`_pool_vjp_enabled`)."""
+    if _pool_vjp_enabled():
+        return _plane_maxpool_to_nhwc_cv(xp, H, W, geo)
+    return _plane_maxpool_to_nhwc_impl(xp, H, W, geo)
 
 
 def conv1x1_from_planes(xp: jnp.ndarray, kernel: jnp.ndarray,

@@ -47,6 +47,10 @@ def build(mode: str):
     # 16.12 ms whole-model); "plane-noilv2" re-measures the 6-D transpose
     os.environ["CONTRASTYOU_PLANE_ILV2"] = (
         "0" if mode == "plane-noilv2" else "1")
+    # scatter-free custom pool VJP (round-3); "plane-nopoolvjp" re-measures
+    # the AD transpose (scatter-add fusion) backward
+    os.environ["CONTRASTYOU_PLANE_POOLVJP"] = (
+        "0" if mode == "plane-nopoolvjp" else "1")
     model = UNet(input_dim=1, num_classes=4, max_channel=512)
     x0 = jnp.asarray(np.random.default_rng(0).standard_normal((B, H, H, 1)),
                      jnp.bfloat16)
