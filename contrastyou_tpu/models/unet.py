@@ -244,19 +244,44 @@ class ConvBlock(nn.Module):
     def __call__(self, x, skip=None, *, train: bool = True,
                  bn_groups=None, bn_update=None,
                  plane_info: Optional[Tuple[int, int]] = None,
-                 skip_is_plane: bool = False, plane_out: bool = False):
+                 skip_is_plane: bool = False, plane_out: bool = False,
+                 parity_info=None):
         plane_io = (plane_info is not None or skip_is_plane or plane_out)
         if self.norm != "batchnorm":
-            assert not plane_io, "plane IO requires the batchnorm pallas path"
+            assert not plane_io and parity_info is None, \
+                "plane IO requires the batchnorm pallas path"
             return self._groupnorm_path(x, skip, train)
-        cin_x = x.shape[1] if plane_info is not None else x.shape[-1]
-        cin_s = ((skip.shape[1] if skip_is_plane else skip.shape[-1])
-                 if skip is not None else 0)
+        if parity_info is not None:
+            # parity-domain stage: x/skip are [B, 4, C, Lbuf] parity planes
+            # at quarter resolution (ops/pallas/convblock.py section doc)
+            assert train and not plane_io, "parity stage is train-only"
+            cin_x, cin_s = x.shape[2], skip.shape[2] if skip is not None else 0
+        else:
+            cin_x = x.shape[1] if plane_info is not None else x.shape[-1]
+            cin_s = ((skip.shape[1] if skip_is_plane else skip.shape[-1])
+                     if skip is not None else 0)
         cin = cin_x + cin_s
         k0 = _Kernel((3, 3, cin, self.features), name="conv0")()
         s0, b0, m0, v0 = _BNState(self.features, name="bn0")()
         k1 = _Kernel((3, 3, self.features, self.features), name="conv1")()
         s1, b1, m1, v1 = _BNState(self.features, name="bn1")()
+
+        if parity_info is not None:
+            from ..ops.pallas.convblock import parity_convblock_stage
+            Hq, Wq, geo = parity_info
+            out, (mv0, mv1) = parity_convblock_stage(
+                x, skip, k0.astype(self.dtype), k1.astype(self.dtype),
+                (s0, b0), (s1, b1), eps=self.eps, dtype=self.dtype,
+                Hq=Hq, Wq=Wq, geo=geo,
+                bn_groups=tuple(bn_groups) if bn_groups else None)
+            upd = bn_update or (True,) * len(mv0)
+            for (mu, va), do_upd in zip(mv0, upd):
+                if do_upd:
+                    self._update_running(m0, v0, mu, va)
+            for (mu, va), do_upd in zip(mv1, upd):
+                if do_upd:
+                    self._update_running(m1, v1, mu, va)
+            return out
 
         spatial = (plane_info if plane_info is not None
                    else (x.shape[1], x.shape[2]))
@@ -346,12 +371,19 @@ class _Deconv1x1(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, plane_info=None):
-        cin = x.shape[1] if plane_info is not None else x.shape[-1]
+    def __call__(self, x, plane_info=None, parity_info=None):
+        if parity_info is not None:
+            cin = x.shape[2]
+        else:
+            cin = x.shape[1] if plane_info is not None else x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (1, 1, cin, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
+        if parity_info is not None:
+            from ..ops.pallas.convblock import parity_head_to_nhwc
+            Hq, Wq, geo = parity_info
+            return parity_head_to_nhwc(x, kernel[0, 0], bias, Hq, Wq, geo)
         if plane_info is None:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
@@ -398,7 +430,12 @@ class UpConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = True, bn_groups=None,
-                 bn_update=None, plane_info=None, plane_out_geo=None):
+                 bn_update=None, plane_info=None, plane_out_geo=None,
+                 parity_out=None):
+        if parity_out is not None:
+            assert self.norm == "batchnorm" and train and plane_out_geo is None
+            return self._parity_path(x, plane_info, parity_out,
+                                     bn_groups, bn_update)
         if plane_out_geo is not None:
             assert self.norm == "batchnorm" and train, \
                 "plane UpConv requires batchnorm train mode"
@@ -449,6 +486,43 @@ class UpConv(nn.Module):
             a_ps, b_ps = a_ps[0], b_ps[0]       # [C] whole-batch affine
         return apply_bn_relu_planes(p, a_ps, b_ps,
                                     border_mask(2 * H, 2 * W, geo_out))
+
+    def _parity_path(self, x, plane_info, parity_out, bn_groups, bn_update):
+        """upsample2x+conv3x3+BN+ReLU whose (2H, 2W) output STAYS as the
+        four parity planes [B, 4, Cout, Lbuf] at the input's quarter
+        geometry (ops/pallas/convblock.py ``upconv_plane_parity``) — the
+        parity-domain chain's Up2 (ref: arch/unet.py:34-47 up_conv)."""
+        from ..ops.pallas.convblock import (_apply_bn_relu_parity,
+                                            _broadcast_affine, _group_mv,
+                                            border_mask, to_planes,
+                                            upconv_plane_parity)
+        Hq, Wq, geo = parity_out
+        if plane_info is None:
+            B, H, W, cin = x.shape
+            assert (H, W) == (Hq, Wq), ((H, W), (Hq, Wq))
+            xp = to_planes(x, self.dtype, geo)
+        else:
+            H, W, geo_in = plane_info
+            assert (H, W) == (Hq, Wq) and geo_in == geo
+            xp = x
+            B, cin, _ = x.shape
+        kernel = _Kernel((3, 3, cin, self.features), name="conv")()
+        s, b, m, v = _BNState(self.features, name="bn")()
+        p, ssum, ssq = upconv_plane_parity(xp, kernel.astype(self.dtype),
+                                           Hq, Wq, geo)
+        groups = tuple(bn_groups) if bn_groups else (B,)
+        mvs = _group_mv(ssum, ssq, groups, 4 * Hq * Wq)
+        upd = bn_update or (True,) * len(mvs)
+        for (mu, va), do_upd in zip(mvs, upd):
+            if do_upd and not self.is_initializing():
+                mm = self.momentum
+                m.value = (1.0 - mm) * m.value + mm * jax.lax.stop_gradient(mu)
+                v.value = (1.0 - mm) * v.value + mm * jax.lax.stop_gradient(va)
+        a_ps, b_ps = _broadcast_affine(mvs, s, b, groups, self.eps)
+        if len(groups) == 1:
+            a_ps, b_ps = a_ps[0], b_ps[0]       # [C] whole-batch affine
+        return _apply_bn_relu_parity(p, a_ps, b_ps,
+                                     border_mask(Hq, Wq, geo))
 
 
 class UNet(nn.Module):
@@ -567,22 +641,52 @@ class UNet(nn.Module):
 
         import os
         chain_ok = os.environ.get("CONTRASTYOU_PLANE_CHAIN", "") != "0"
-        p1 = (chain_ok and r1 and H % 2 == 0 and W % 2 == 0
+
+        # ---- parity-domain widest-level cluster (round 3) --------------
+        # Conv1 -> maxpool and Up2 -> Up_conv2 -> Deconv_1x1 run ENTIRELY
+        # as four quarter-resolution parity planes [B, 4, C, Lbuf] sharing
+        # ONE geometry with the Conv2/Up_conv3 plane stages: the pool is an
+        # elementwise max over the parity axis, Up2's parity outputs feed
+        # Up_conv2 directly, e1's parity planes are the skip, and the only
+        # interleave left is the num_classes-wide head (see
+        # ops/pallas/convblock.py parity section doc). One static gate for
+        # the whole cluster; any tap/until inside it falls back.
+        from ..ops.pallas.convblock import (parity_pool,
+                                            parity_split_to_planes,
+                                            use_parity_chain)
+        par = (chain_ok and bn and train
+               and "Conv1" not in taps and until != "Conv1"
+               and "Up_conv2" not in taps and until != "Up_conv2"
+               and use_parity_chain(Cin, c1, cu2, (H, W), self.dtype))
+        gq = (stage_geometry(H2, W2, cu2, cu2, c1, self.dtype)
+              if par else None)
+        if par and r2 and stage_geometry(H2, W2, c1, c2, 0,
+                                         self.dtype) != gq:
+            par = False                       # geometries must be shared
+        p1 = (not par and chain_ok and r1 and H % 2 == 0 and W % 2 == 0
               and "Conv1" not in taps and until != "Conv1")
         p2 = (chain_ok and r2 and H2 % 2 == 0 and W2 % 2 == 0
               and "Conv2" not in taps and until != "Conv2")
 
         # ---- encoder ---------------------------------------------------
-        e1 = self.Conv1(x, plane_out=p1, **kw)          # planes iff p1
-        if not p1 and emit("Conv1", e1):
-            return e1.astype(jnp.float32), collected
-        if p1:
-            x2 = (plane_maxpool(e1, H, W, g1, g2) if r2
-                  else plane_maxpool_to_nhwc(e1, H, W, g1))
+        if par:
+            xq = parity_split_to_planes(x, self.dtype, gq)
+            e1 = self.Conv1(xq, parity_info=(H2, W2, gq), **kw)
+            x2 = parity_pool(e1)              # dense planes at gq == g2
             x2_planes = r2
+            if not x2_planes:
+                x2 = from_planes(x2, H2, W2, gq)
         else:
-            x2 = nn.max_pool(e1, (2, 2), (2, 2))
-            x2_planes = False
+            e1 = self.Conv1(x, plane_out=p1, **kw)      # planes iff p1
+            if not p1 and emit("Conv1", e1):
+                return e1.astype(jnp.float32), collected
+            if p1:
+                x2 = (plane_maxpool(e1, H, W, g1, g2) if r2
+                      else plane_maxpool_to_nhwc(e1, H, W, g1))
+                x2_planes = r2
+            else:
+                x2 = nn.max_pool(e1, (2, 2), (2, 2))
+                x2_planes = False
         e2 = self.Conv2(x2, plane_info=(H2, W2) if x2_planes else None,
                         plane_out=p2, **kw)             # planes iff p2
         if not p2 and emit("Conv2", e2):
@@ -615,7 +719,7 @@ class UNet(nn.Module):
         up3_plane = (chain_ok and ru3 and H2 % 2 == 0 and W2 % 2 == 0
                      and use_plane_upconv(cu3, 2 * cu3, (H2 // 2, W2 // 2),
                                           self.dtype, tag="up3"))
-        up2_plane = (chain_ok and ru2
+        up2_plane = (not par and chain_ok and ru2
                      and use_plane_upconv(cu2, cu3, (H2, W2), self.dtype,
                                           tag="up2"))
 
@@ -623,13 +727,30 @@ class UNet(nn.Module):
         if p2 and not skip3_plane:
             e2 = from_planes(e2, H2, W2, g2)
         d3in = self.Up3(d4, plane_out_geo=gu3 if up3_plane else None, **kw)
-        p_uc3 = (chain_ok and ru3 and up2_plane
-                 and "Up_conv3" not in taps and until != "Up_conv3")
+        if par:
+            p_uc3 = (chain_ok and ru3 and gu3 == gq
+                     and "Up_conv3" not in taps and until != "Up_conv3")
+        else:
+            p_uc3 = (chain_ok and ru3 and up2_plane
+                     and "Up_conv3" not in taps and until != "Up_conv3")
         d3 = self.Up_conv3(d3in, skip=e2,
                            plane_info=(H2, W2) if up3_plane else None,
                            skip_is_plane=skip3_plane, plane_out=p_uc3, **kw)
         if not p_uc3 and emit("Up_conv3", d3):
             return d3.astype(jnp.float32), collected
+
+        if par:
+            # Up2 -> Up_conv2 -> head entirely in the parity domain; e1's
+            # parity planes are the skip (no interleave anywhere)
+            d2in = self.Up2(d3, parity_out=(H2, W2, gq),
+                            plane_info=(H2, W2, gu3) if p_uc3 else None,
+                            **kw)
+            d2 = self.Up_conv2(d2in, skip=e1,
+                               parity_info=(H2, W2, gq), **kw)
+            logits = self.Deconv_1x1(
+                d2, parity_info=(H2, W2, gq)).astype(jnp.float32)
+            emit("Deconv_1x1", logits)
+            return logits, collected
 
         skip2_plane = p1 and ru2 and g1 == gu2
         if p1 and not skip2_plane:

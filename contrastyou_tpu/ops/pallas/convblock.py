@@ -264,14 +264,22 @@ def _conv_plane_kernel_dyg(x_ref, w2t_ref, a_ref, b_ref, mask_ref,
 def _conv_plane_kernel(x_ref, w2_ref, a_ref, b_ref, mask_ref,
                        out_ref, part_ref, patches,
                        *, offsets, cin: int, crep: int, apply_bn: bool,
-                       mb: int, pad: int):
+                       mb: int, pad: int,
+                       blocks: Optional[Tuple[int, ...]] = None):
     """grid (B, nj). One step: ONE aligned wide load + static lane-rolls per
     tap (Mosaic requires 128-aligned vector loads), fused bn-apply/relu,
     patches scratch, one matmul -> preactivation block + stat partials.
 
     ``crep``: sublane replication factor for tiny C_in (patches rows must be
     written at 8-aligned sublane offsets, so C_in < 8 is replicated to
-    ``crep*cin`` rows and w2 carries weight/crep in each replica slot)."""
+    ``crep*cin`` rows and w2 carries weight/crep in each replica slot).
+
+    ``blocks`` (parity-domain convs, round 3): per-tap CHANNEL-BLOCK index —
+    the input carries ``max(blocks)+1`` stacked plane groups of ``cin``
+    channels each, and tap ``t`` reads its lanes from block ``blocks[t]``
+    (a static sublane slice of the wide vector, so ``cin`` must be
+    8-aligned; callers pre-replicate tinier inputs). Everything else —
+    patches layout, w2 fold, the single MXU dot — is unchanged."""
     j = pl.program_id(1)
     wide_lo = mb + j * mb - pad
     width = mb + 2 * pad
@@ -287,9 +295,17 @@ def _conv_plane_kernel(x_ref, w2_ref, a_ref, b_ref, mask_ref,
         xw = jnp.where(mw > 0, h, 0.0)
     rows = cin * crep
     dtype = out_ref.dtype
+    subs = {}
     for t, off in enumerate(offsets):
         rel = (-(pad + off)) % width                         # static shift
-        blk = pltpu.roll(xw, rel, 1)[:, :mb].astype(dtype)   # [Cin, mb]
+        if blocks is None:
+            src = xw
+        else:
+            p = blocks[t]
+            if p not in subs:
+                subs[p] = xw[p * rows:(p + 1) * rows, :]
+            src = subs[p]
+        blk = pltpu.roll(src, rel, 1)[:, :mb].astype(dtype)  # [Cin, mb]
         if crep > 1:
             blk = pltpu.repeat(blk, crep, 0)                 # [rows, mb]
         patches[pl.ds(t * rows, rows), :] = blk
@@ -309,7 +325,8 @@ def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
                    a: Optional[jnp.ndarray] = None,
                    b: Optional[jnp.ndarray] = None,
                    geo: Optional[PlaneGeo] = None,
-                   offsets: Optional[Tuple[int, ...]] = None):
+                   offsets: Optional[Tuple[int, ...]] = None,
+                   blocks: Optional[Tuple[int, ...]] = None):
     """One tap-set conv over guarded planes (default: the 3x3 tap set).
 
     xp [B, Cin, Lbuf]; w2 [Cout, T*Cin] (fold_kernel / fold_kernel_transposed
@@ -339,7 +356,12 @@ def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
         raise ValueError(
             f"plane conv tap offsets {offsets} exceed the halo pad={g.pad}; "
             "route this layer through the XLA path instead")
-    crep = 1 if cin >= 8 else 8 // cin      # 8-aligned patch-row writes
+    if blocks is not None:
+        # parity-domain conv: cin is the stacked total; w2 holds per-block
+        # channels only; caller pre-replicated tiny inputs (crep stays 1)
+        crep = 1
+    else:
+        crep = 1 if cin >= 8 else 8 // cin  # 8-aligned patch-row writes
     if a is None:
         a = jnp.ones((cin,), jnp.float32)
         b = jnp.zeros((cin,), jnp.float32)
@@ -347,7 +369,8 @@ def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
         w3 = w2.reshape(cout, T, cin)
         w2 = jnp.broadcast_to(w3[:, :, None, :] / crep,
                               (cout, T, crep, cin)).reshape(cout, -1)
-    dyg = T == 9 and offsets == tap_offsets(g.rs) and _dyg_enabled()
+    dyg = (T == 9 and blocks is None and offsets == tap_offsets(g.rs)
+           and _dyg_enabled())
     if dyg:
         # dy-grouped transposed fold: columns (dy, dx, rows) -> sublanes
         # (dx, dy, rows), Cout -> lanes (see _conv_plane_kernel_dyg)
@@ -355,7 +378,8 @@ def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
         w2 = (w2.reshape(cout, 3, 3, rows).transpose(2, 1, 3, 0)
               .reshape(9 * rows, cout))
     f = _partitioned_conv(g.rs, apply_bn, str(jnp.dtype(xp.dtype)),
-                          g.mb, g.pad, tuple(offsets), dyg)
+                          g.mb, g.pad, tuple(offsets), dyg,
+                          tuple(blocks) if blocks is not None else None)
     return f(xp, w2.astype(xp.dtype),
              a.reshape(cin, 1).astype(jnp.float32),
              b.reshape(cin, 1).astype(jnp.float32), mask)
@@ -369,11 +393,20 @@ def _dyg_enabled() -> bool:
 def _conv_plane_call(xp, w2, a, b, mask, *, rs: int, apply_bn: bool,
                      mb: int, pad: int,
                      offsets: Optional[Tuple[int, ...]] = None,
-                     dyg: bool = False):
+                     dyg: bool = False,
+                     blocks: Optional[Tuple[int, ...]] = None):
     """The raw pallas_call on (possibly per-shard local) operands."""
     if offsets is None:
         offsets = tap_offsets(rs)
     B, cin, Lbuf = xp.shape
+    if blocks is not None:
+        # parity-domain conv: xp stacks nb channel blocks; taps address them
+        assert not dyg
+        nb = max(blocks) + 1
+        assert cin % nb == 0 and len(blocks) == len(offsets), (cin, blocks)
+        cin = cin // nb
+        assert cin % 8 == 0, ("blocks path needs 8-aligned per-block "
+                              "channels (pre-replicate tiny C_in)", cin)
     if dyg:
         kcols, cout = w2.shape               # transposed dy-grouped fold
         crep = kcols // (9 * cin)
@@ -386,11 +419,15 @@ def _conv_plane_call(xp, w2, a, b, mask, *, rs: int, apply_bn: bool,
     else:
         cout, kcols = w2.shape
         crep = kcols // (len(offsets) * cin)
+        if blocks is not None:
+            assert crep == 1, "blocks path pre-replicates instead of crep"
         kern = partial(_conv_plane_kernel, offsets=offsets, cin=cin,
-                       crep=crep, apply_bn=apply_bn, mb=mb, pad=pad)
+                       crep=crep, apply_bn=apply_bn, mb=mb, pad=pad,
+                       blocks=blocks)
         w2_spec = pl.BlockSpec((cout, kcols), lambda bi, ji: (0, 0),
                                memory_space=pltpu.VMEM)
         scratch = pltpu.VMEM((kcols, mb), xp.dtype)
+    cin = xp.shape[1]                        # full stacked rows for specs
     nj = Lbuf // mb - 2
     return pl.pallas_call(
         kern,
@@ -425,7 +462,8 @@ def _conv_plane_call(xp, w2, a, b, mask, *, rs: int, apply_bn: bool,
 def _partitioned_conv(rs: int, apply_bn: bool, _dtype_key: str,
                       mb: int, pad: int,
                       offsets: Optional[Tuple[int, ...]] = None,
-                      dyg: bool = False):
+                      dyg: bool = False,
+                      blocks: Optional[Tuple[int, ...]] = None):
     """GSPMD-partitionable wrapper: the kernel is independent per batch
     element, so under a data mesh each shard runs the pallas_call on its
     LOCAL batch (w2/a/b/mask replicated); the BN stat partials stay
@@ -436,7 +474,8 @@ def _partitioned_conv(rs: int, apply_bn: bool, _dtype_key: str,
 
     def _raw(xp, w2, a, b, mask):
         return _conv_plane_call(xp, w2, a, b, mask, rs=rs, apply_bn=apply_bn,
-                                mb=mb, pad=pad, offsets=offsets, dyg=dyg)
+                                mb=mb, pad=pad, offsets=offsets, dyg=dyg,
+                                blocks=blocks)
 
     fn = custom_partitioning(_raw)
 
@@ -460,7 +499,7 @@ def _partitioned_conv(rs: int, apply_bn: bool, _dtype_key: str,
         def lower_fn(xp, w2, a, b, mask):
             return _conv_plane_call(xp, w2, a, b, mask, rs=rs,
                                     apply_bn=apply_bn, mb=mb, pad=pad,
-                                    offsets=offsets, dyg=dyg)
+                                    offsets=offsets, dyg=dyg, blocks=blocks)
 
         return mesh, lower_fn, out_sh, arg_sh
 
@@ -1139,6 +1178,306 @@ def use_plane_upconv(features: int, cin: int, spatial_in: Tuple[int, int],
     if raw == "1":
         return eligible
     return jax.default_backend() == "tpu" and eligible
+
+
+def use_parity_chain(cin_img: int, c1: int, cu2: int,
+                     spatial: Tuple[int, int],
+                     dtype=jnp.bfloat16) -> bool:
+    """Gate for the parity-domain widest-level chain (see the section
+    comment below): env/backend policy plus feasibility — the stacked
+    4-parity planes of the widest stage must fit one VMEM input block and
+    the backward pass needs 8-aligned cotangent channel blocks.
+
+    ``CONTRASTYOU_PLANE_PARITY``: "1" opts in; default OFF — the on-chip
+    whole-model A/B measured the four-call parity chain SLOWER than the
+    interleaved plane chain (22.17 vs 15.60 ms fwd+bwd at 224^2 batch 10):
+    each per-output-parity kernel call re-loads the full 4-parity stacked
+    input block, quadrupling input traffic. Kept as a knob while the fused
+    single-pass variant is built. ``CONTRASTYOU_PALLAS_CONV=1`` runs it on
+    CPU in interpret mode (tests)."""
+    import os
+    H, W = spatial
+    if H % 2 or W % 2 or c1 % 8 or cu2 % 8:
+        return False
+    Hq, Wq = H // 2, W // 2
+    itemsize = jnp.dtype(dtype).itemsize
+    try:
+        geo = pick_geometry(Hq, Wq, max(c1, cu2), itemsize)
+    except ValueError:
+        return False
+    if geo.rs + 1 > geo.pad:                 # parity taps reach rs+1
+        return False
+    cmax = max(cin_img * _parity_crep(cin_img), c1, cu2)
+    # stacked 4-parity input block + patches scratch residency
+    if (4 * cmax * geo.lbuf + 9 * cmax * geo.mb) * itemsize > (14 << 20):
+        return False
+    if os.environ.get("CONTRASTYOU_PLANE_PARITY", "0") != "1":
+        return False
+    raw = os.environ.get("CONTRASTYOU_PALLAS_CONV", "")
+    if raw == "0":
+        return False
+    if raw == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+# --- parity-domain 224^2 chain (round 3) --------------------------------
+#
+# Keep the four 2x2-parity classes of the widest U-Net level as separate
+# quarter-resolution plane arrays [B, 4, C, Lbuf] (plane q = 2*row_par +
+# col_par holds img[2y+row_par, 2x+col_par]) instead of one interleaved
+# 224^2 plane. A 3x3 conv on the interleaved image decomposes EXACTLY into
+# four parity-output convs whose 9 taps each read ONE parity plane at ONE
+# quarter-lane offset (the ``blocks`` kernel extension) — same MACs, same
+# patches scratch — while the interleave/deinterleave glue this replaces
+# (the Up2 lane zips, the pool stride-2 slices, to_planes at 226^2: ~3.5
+# ms/step in the round-3 trace) disappears: max-pool becomes an elementwise
+# max over the parity axis, the upconv's parity outputs feed the consumer
+# directly, and the only interleave left is the num_classes-wide head.
+
+
+def parity_tap_plan(a: int, b: int, rs: int):
+    """(blocks, offsets) of the 9 taps producing output parity (a, b):
+    out[2Y+a, 2X+b] = sum_{dy,dx} k[dy,dx] * img[2Y+a+dy-1, 2X+b+dx-1] and
+    img[2Y+u] lives in plane row-parity u&1 at quarter row Y + (u>>1)."""
+    blocks, offs = [], []
+    for dy in range(3):
+        for dx in range(3):
+            u, v = a + dy - 1, b + dx - 1
+            blocks.append(2 * (u & 1) + (v & 1))
+            offs.append((u >> 1) * rs + (v >> 1))
+    return tuple(blocks), tuple(offs)
+
+
+def _parity_bwd_plan(pr: int, pc: int, rs: int):
+    """(blocks, offsets) of the 9 dx taps for INPUT plane (pr, pc): the
+    transpose of :func:`parity_tap_plan` — tap (dy, dx) reads the stacked
+    output-parity cotangent block q at the negated quarter offset."""
+    blocks, offs = [], []
+    for dy in range(3):
+        for dx in range(3):
+            aa = (pr - dy + 1) & 1
+            bb = (pc - dx + 1) & 1
+            u, v = aa + dy - 1, bb + dx - 1
+            blocks.append(2 * aa + bb)
+            offs.append(-((u >> 1) * rs + (v >> 1)))
+    return tuple(blocks), tuple(offs)
+
+
+def _parity_crep(cin: int) -> int:
+    """Replication factor making the per-block patch rows 8-aligned (the
+    ``blocks`` kernel slices the stacked parity planes at sublane offsets,
+    which Mosaic requires 8-aligned)."""
+    import math
+    return 8 // math.gcd(cin, 8)
+
+
+def _parity_fwd_impl(xq, k3, mask, H, W, geo):
+    B, nb, cin, L = xq.shape
+    assert nb == 4, xq.shape
+    cout = k3.shape[-1]
+    crep = _parity_crep(cin)                 # blocks need 8-aligned rows
+    xs, k = xq, k3
+    if crep > 1:
+        xs = jnp.repeat(xq, crep, axis=2)
+        k = jnp.repeat(k3, crep, axis=2) / crep
+    flat = xs.reshape(B, 4 * cin * crep, L)
+    w2 = fold_taps(k.reshape(9, cin * crep, cout))
+    outs, part_sum = [], 0.0
+    for q in range(4):
+        blocks, offs = parity_tap_plan(q // 2, q % 2, geo.rs)
+        o, part = conv_plane_geo(flat, w2, mask, H, W, geo=geo,
+                                 offsets=offs, blocks=blocks)
+        outs.append(jnp.where(mask[None] > 0, o, 0).astype(xq.dtype))
+        part_sum = part_sum + part.sum(1)                    # [B, 2, C]
+    return jnp.stack(outs, 1), part_sum[:, 0], part_sum[:, 1]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def parity_conv3x3_stats(xq: jnp.ndarray, k3: jnp.ndarray, mask: jnp.ndarray,
+                         H: int, W: int, geo: PlaneGeo):
+    """3x3 SAME conv in the parity domain: parity planes [B, 4, Cin, Lbuf]
+    at quarter resolution (H, W) x HWIO ``k3`` -> parity preactivations
+    [B, 4, Cout, Lbuf] plus the masked per-sample (sum, sumsq) [B, Cout] of
+    the FULL-resolution output (kernel stat partials summed over parities).
+    Numerically identical (up to bf16 accumulation order) to interleave ->
+    plane_conv_stats -> deinterleave. Ref semantics: arch/unet.py:16-31."""
+    return _parity_fwd_impl(xq, k3, mask, H, W, geo)
+
+
+def _parity_cv_fwd(xq, k3, mask, H, W, geo):
+    outs, ssum, ssq = _parity_fwd_impl(xq, k3, mask, H, W, geo)
+    return (outs, ssum, ssq), (xq, k3, mask, outs)
+
+
+def _parity_cv_bwd(H, W, geo, res, cot):
+    xq, k3, mask, outs = res
+    g_out, g_s, g_sq = cot
+    B, _, cin, L = xq.shape
+    cout = k3.shape[-1]
+    assert cout % 8 == 0, cout               # cotangent block alignment
+    g = (g_out.astype(jnp.float32)
+         + mask[None, None] * (g_s[:, None, :, None]
+                               + 2.0 * outs.astype(jnp.float32)
+                               * g_sq[:, None, :, None]))
+    g = jnp.where(mask[None, None] > 0, g, 0).astype(xq.dtype)
+    gflat = g.reshape(B, 4 * cout, L)
+    # dx: same blocks kernel over the stacked parity cotangents; tiny Cin
+    # is handled by replicating the KT columns (identical replica outputs;
+    # keep the first) so per-block output rows stay 8-aligned.
+    crep = _parity_crep(cin)
+    kT = k3.transpose(0, 1, 3, 2).reshape(9, cout, cin)      # [9,Cout,Cin]
+    if crep > 1:
+        kT = jnp.tile(kT, (1, 1, crep))
+    w2T = fold_taps(kT)
+    dqs = []
+    for p in range(4):
+        blocks, offs = _parity_bwd_plan(p // 2, p % 2, geo.rs)
+        d, _ = conv_plane_geo(gflat, w2T, mask, H, W, geo=geo,
+                              offsets=offs, blocks=blocks)
+        d = jnp.where(mask[None] > 0, d, 0)[:, :cin]
+        dqs.append(d.astype(xq.dtype))
+    dxq = jnp.stack(dqs, 1)
+    # dk[dy,dx] = sum_q x[plane(q,dy,dx)] (shifted) x g[q] — 36 quarter-size
+    # sliced einsums (the parity split of the 9 full-size ones)
+    gcore = [g[:, q, :, geo.mb:geo.mb + geo.P].astype(jnp.float32)
+             for q in range(4)]
+    dks = []
+    for dy in range(3):
+        for dx in range(3):
+            acc = 0.0
+            for q in range(4):
+                u, v = q // 2 + dy - 1, q % 2 + dx - 1
+                p = 2 * (u & 1) + (v & 1)
+                off = (u >> 1) * geo.rs + (v >> 1)
+                xs = jax.lax.dynamic_slice_in_dim(
+                    xq[:, p], geo.mb + off, geo.P, 2).astype(jnp.float32)
+                acc = acc + jnp.einsum(
+                    "bim,bom->io", xs, gcore[q],
+                    preferred_element_type=jnp.float32)
+            dks.append(acc)
+    dk3 = jnp.stack(dks, 0).reshape(3, 3, cin, cout)
+    return dxq, dk3.astype(k3.dtype), None
+
+
+parity_conv3x3_stats.defvjp(_parity_cv_fwd, _parity_cv_bwd)
+
+
+def parity_split_to_planes(x: jnp.ndarray, dtype, geo: PlaneGeo):
+    """NHWC [B, 2H, 2W, C] -> parity planes [B, 4, C, Lbuf] at (H, W)."""
+    qs = [to_planes(x[:, a::2, b::2, :], dtype, geo)
+          for a in (0, 1) for b in (0, 1)]
+    return jnp.stack(qs, 1)
+
+
+def parity_pool(hq: jnp.ndarray) -> jnp.ndarray:
+    """2x2/stride-2 max-pool of the interleaved image == elementwise max
+    over the parity planes — zero layout work, and the reduction tree
+    (row parity first, then column parity) matches plane_maxpool exactly
+    so gradients agree bit-for-bit. Output: dense planes [B, C, Lbuf] in
+    the SAME quarter geometry (which is the next level's plane layout)."""
+    rows0 = jnp.maximum(hq[:, 0], hq[:, 2])
+    rows1 = jnp.maximum(hq[:, 1], hq[:, 3])
+    return jnp.maximum(rows0, rows1)
+
+
+def _apply_bn_relu_parity(xq, a, b, mask):
+    """:func:`apply_bn_relu_planes` with a leading parity axis."""
+    if a.ndim == 1:
+        a, b = a[None, None, :, None], b[None, None, :, None]
+    else:
+        a, b = a[:, None, :, None], b[:, None, :, None]
+    h = xq.astype(jnp.float32) * a + b
+    h = jnp.maximum(h, 0.0)
+    return jnp.where(mask[None, None] > 0, h, 0.0).astype(xq.dtype)
+
+
+def _parity_masked_stats(pq, mask):
+    """Masked per-(sample, channel) (sum, sumsq) over parity + plane."""
+    v = jnp.where(mask[None, None] > 0, pq.astype(jnp.float32), 0.0)
+    return v.sum((1, 3)), (v * v).sum((1, 3))
+
+
+def parity_convblock_stage(xq, skipq, k0, k1, affine0, affine1, *,
+                           eps: float, dtype, Hq: int, Wq: int,
+                           geo: PlaneGeo,
+                           bn_groups: Optional[Tuple[int, ...]] = None):
+    """:func:`convblock_stage` in the parity domain: parity planes in ->
+    parity planes out, identical BN semantics (per-group batch statistics
+    over the full-resolution output). ``skipq`` reproduces the decoder
+    concat via two parity convs on slices of ``k0``."""
+    B = xq.shape[0]
+    mask = border_mask(Hq, Wq, geo)
+    groups = tuple(bn_groups) if bn_groups else (B,)
+    hw = 4 * Hq * Wq
+    if skipq is not None:
+        cs = skipq.shape[2]
+        o_s, _, _ = parity_conv3x3_stats(skipq, k0[:, :, :cs], mask,
+                                         Hq, Wq, geo)
+        o_x, _, _ = parity_conv3x3_stats(xq, k0[:, :, cs:], mask,
+                                         Hq, Wq, geo)
+        p0 = (o_s + o_x).astype(dtype)
+        s0, sq0 = _parity_masked_stats(p0, mask)
+    else:
+        p0, s0, sq0 = parity_conv3x3_stats(xq, k0, mask, Hq, Wq, geo)
+    mv0 = _group_mv(s0, sq0, groups, hw)
+    a0, b0 = _broadcast_affine(mv0, affine0[0], affine0[1], groups, eps)
+    h0 = _apply_bn_relu_parity(p0, a0, b0, mask)
+    p1, s1, sq1 = parity_conv3x3_stats(h0, k1, mask, Hq, Wq, geo)
+    mv1 = _group_mv(s1, sq1, groups, hw)
+    a1, b1 = _broadcast_affine(mv1, affine1[0], affine1[1], groups, eps)
+    h1 = _apply_bn_relu_parity(p1, a1, b1, mask)
+    return h1, (mv0, mv1)
+
+
+def upconv_plane_parity(xp: jnp.ndarray, k3: jnp.ndarray, H: int, W: int,
+                        geo_in: PlaneGeo):
+    """:func:`upconv_plane` WITHOUT the interleave: the four parity-class
+    convs stay as planes [B, 4, Cout, Lbuf_in] in the INPUT geometry —
+    which IS the parity-domain quarter geometry of the (2H, 2W) output.
+    Stats identical to upconv_plane (masked sums of the full output)."""
+    mask_in = border_mask(H, W, geo_in)
+    outs, ssum, ssq = [], 0.0, 0.0
+    for a in (0, 1):
+        for b in (0, 1):
+            taps, offs = _parity_taps(k3, a, b, geo_in.rs)
+            o, s, sq = plane_conv_taps_stats(xp, taps, mask_in, H, W,
+                                             geo_in, offs)
+            outs.append(o)
+            ssum, ssq = ssum + s, ssq + sq
+    return jnp.stack(outs, 1), ssum, ssq
+
+
+def parity_head_to_nhwc(xq: jnp.ndarray, kernel: jnp.ndarray,
+                        bias: Optional[jnp.ndarray], Hq: int, Wq: int,
+                        geo: PlaneGeo) -> jnp.ndarray:
+    """1x1 conv head on parity planes -> NHWC [B, 2H, 2W, K]: the ONLY
+    interleave of the parity chain, paid at ``K`` (=num_classes) channels
+    instead of the stage width (ref arch/unet.py:60 Conv_1x1)."""
+    y = jnp.einsum("bpcl,co->bpol", xq, kernel.astype(xq.dtype))
+    B, _, K, _ = y.shape
+    core = y[:, :, :, geo.mb:geo.mb + geo.P].reshape(B, 4, K, Hq + 2, geo.rs)
+    q = core[:, :, :, 1:Hq + 1, 1:Wq + 1]                 # [B, 4, K, Hq, Wq]
+    z0 = jnp.stack((q[:, 0], q[:, 1]), -1).reshape(B, K, Hq, 2 * Wq)
+    z1 = jnp.stack((q[:, 2], q[:, 3]), -1).reshape(B, K, Hq, 2 * Wq)
+    full = jnp.stack((z0, z1), 3).reshape(B, K, 2 * Hq, 2 * Wq)
+    out = full.transpose(0, 2, 3, 1)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def parity_enabled() -> bool:
+    """CONTRASTYOU_PLANE_PARITY gates the parity-domain 224^2 chain
+    (default ON on TPU after the round-3 on-chip A/B; =1 forces it on CPU
+    — how the test suite covers it; =0 disables)."""
+    import os
+    raw = os.environ.get("CONTRASTYOU_PLANE_PARITY", "")
+    if raw == "0":
+        return False
+    if raw == "1":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 # --- conv WITH the kernel's free stat partials (differentiable) ---------

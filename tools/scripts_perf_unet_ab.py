@@ -51,6 +51,13 @@ def build(mode: str):
     # the AD transpose (scatter-add fusion) backward
     os.environ["CONTRASTYOU_PLANE_POOLVJP"] = (
         "0" if mode == "plane-nopoolvjp" else "1")
+    # "plane-dw" re-measures the Pallas weight-grad kernel (historically a
+    # small net loss vs the sliced einsums once fused-opt landed)
+    os.environ["CONTRASTYOU_PLANE_DW"] = ("1" if mode == "plane-dw" else "0")
+    # parity-domain widest-level chain (round 3); "plane-noparity"
+    # re-measures the interleaved plane chain
+    os.environ["CONTRASTYOU_PLANE_PARITY"] = (
+        "0" if mode in ("plane-noparity", "plane-nochain") else "1")
     model = UNet(input_dim=1, num_classes=4, max_channel=512)
     x0 = jnp.asarray(np.random.default_rng(0).standard_normal((B, H, H, 1)),
                      jnp.bfloat16)
