@@ -264,22 +264,14 @@ def _conv_plane_kernel_dyg(x_ref, w2t_ref, a_ref, b_ref, mask_ref,
 def _conv_plane_kernel(x_ref, w2_ref, a_ref, b_ref, mask_ref,
                        out_ref, part_ref, patches,
                        *, offsets, cin: int, crep: int, apply_bn: bool,
-                       mb: int, pad: int,
-                       blocks: Optional[Tuple[int, ...]] = None):
+                       mb: int, pad: int):
     """grid (B, nj). One step: ONE aligned wide load + static lane-rolls per
     tap (Mosaic requires 128-aligned vector loads), fused bn-apply/relu,
     patches scratch, one matmul -> preactivation block + stat partials.
 
     ``crep``: sublane replication factor for tiny C_in (patches rows must be
     written at 8-aligned sublane offsets, so C_in < 8 is replicated to
-    ``crep*cin`` rows and w2 carries weight/crep in each replica slot).
-
-    ``blocks`` (parity-domain convs, round 3): per-tap CHANNEL-BLOCK index —
-    the input carries ``max(blocks)+1`` stacked plane groups of ``cin``
-    channels each, and tap ``t`` reads its lanes from block ``blocks[t]``
-    (a static sublane slice of the wide vector, so ``cin`` must be
-    8-aligned; callers pre-replicate tinier inputs). Everything else —
-    patches layout, w2 fold, the single MXU dot — is unchanged."""
+    ``crep*cin`` rows and w2 carries weight/crep in each replica slot)."""
     j = pl.program_id(1)
     wide_lo = mb + j * mb - pad
     width = mb + 2 * pad
@@ -295,17 +287,9 @@ def _conv_plane_kernel(x_ref, w2_ref, a_ref, b_ref, mask_ref,
         xw = jnp.where(mw > 0, h, 0.0)
     rows = cin * crep
     dtype = out_ref.dtype
-    subs = {}
     for t, off in enumerate(offsets):
         rel = (-(pad + off)) % width                         # static shift
-        if blocks is None:
-            src = xw
-        else:
-            p = blocks[t]
-            if p not in subs:
-                subs[p] = xw[p * rows:(p + 1) * rows, :]
-            src = subs[p]
-        blk = pltpu.roll(src, rel, 1)[:, :mb].astype(dtype)  # [Cin, mb]
+        blk = pltpu.roll(xw, rel, 1)[:, :mb].astype(dtype)   # [Cin, mb]
         if crep > 1:
             blk = pltpu.repeat(blk, crep, 0)                 # [rows, mb]
         patches[pl.ds(t * rows, rows), :] = blk
@@ -320,13 +304,58 @@ def _conv_plane_kernel(x_ref, w2_ref, a_ref, b_ref, mask_ref,
     part_ref[0, 0, 1, :] = jnp.sum(v * v, axis=1)
 
 
+def _conv_plane_kernel_multi(x_ref, w2_ref, a_ref, b_ref, mask_ref,
+                             out_ref, part_ref, patches,
+                             *, groups, cin: int, nb: int,
+                             apply_bn: bool, mb: int, pad: int):
+    """Multi-block sibling of :func:`_conv_plane_kernel` (round 3): the
+    input stacks ``nb`` channel blocks of ``cin`` rows (e.g. the four
+    2x2-parity planes of one image), ``groups`` is a static tuple of
+    (block, lane-offset) pairs whose rolled taps build ONE shared patches
+    scratch, and ONE zero-padded matmul produces ALL output blocks:
+    ``w2 [Q*cout, G*cin] @ patches [G*cin, mb]`` (on the parity plan the
+    zero rows are 16/9 the exact MACs — microseconds at these shapes;
+    block-sparse per-run dots and per-block epilogues were both tried and
+    OOMed the Mosaic VMEM stack at 18.6M/17.9M on the 4x32-row Up_conv2
+    call, while this form fits). The stacked input block is loaded into
+    VMEM once per grid step for ALL output blocks — the per-output-parity
+    call form re-read it ``Q`` times (22.17 vs 15.60 ms whole-model).
+    ``cin`` must be 8-aligned (sublane block slices); callers
+    pre-replicate tinier inputs into the weights."""
+    j = pl.program_id(1)
+    wide_lo = mb + j * mb - pad
+    width = mb + 2 * pad
+    xw = x_ref[0, :, pl.ds(wide_lo, width)].astype(jnp.float32)
+    mw = mask_ref[:, pl.ds(wide_lo, width)]                  # [1,  mb+2pad]
+    if apply_bn:
+        h = xw * a_ref[:] + b_ref[:]
+        h = jnp.maximum(h, 0.0)
+        xw = jnp.where(mw > 0, h, 0.0)
+    dtype = out_ref.dtype
+    subs = {}
+    for gi, (bl, off) in enumerate(groups):
+        if bl not in subs:
+            subs[bl] = xw if nb == 1 else xw[bl * cin:(bl + 1) * cin, :]
+        rel = (-(pad + off)) % width                         # static shift
+        blk = pltpu.roll(subs[bl], rel, 1)[:, :mb].astype(dtype)
+        patches[pl.ds(gi * cin, cin), :] = blk
+    acc = jax.lax.dot_general(
+        w2_ref[:], patches[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [Cout_t, mb]
+    out = acc.astype(dtype)
+    out_ref[0, :, :] = out
+    m_out = pltpu.roll(mw, (-pad) % width, 1)[0, :mb]        # [mb]
+    v = jnp.where(m_out > 0, acc, 0.0)
+    part_ref[0, 0, 0, :] = jnp.sum(v, axis=1)
+    part_ref[0, 0, 1, :] = jnp.sum(v * v, axis=1)
+
+
 def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
                    H: int, W: int, *, apply_bn: bool = False,
                    a: Optional[jnp.ndarray] = None,
                    b: Optional[jnp.ndarray] = None,
                    geo: Optional[PlaneGeo] = None,
-                   offsets: Optional[Tuple[int, ...]] = None,
-                   blocks: Optional[Tuple[int, ...]] = None):
+                   offsets: Optional[Tuple[int, ...]] = None):
     """One tap-set conv over guarded planes (default: the 3x3 tap set).
 
     xp [B, Cin, Lbuf]; w2 [Cout, T*Cin] (fold_kernel / fold_kernel_transposed
@@ -356,12 +385,7 @@ def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
         raise ValueError(
             f"plane conv tap offsets {offsets} exceed the halo pad={g.pad}; "
             "route this layer through the XLA path instead")
-    if blocks is not None:
-        # parity-domain conv: cin is the stacked total; w2 holds per-block
-        # channels only; caller pre-replicated tiny inputs (crep stays 1)
-        crep = 1
-    else:
-        crep = 1 if cin >= 8 else 8 // cin  # 8-aligned patch-row writes
+    crep = 1 if cin >= 8 else 8 // cin      # 8-aligned patch-row writes
     if a is None:
         a = jnp.ones((cin,), jnp.float32)
         b = jnp.zeros((cin,), jnp.float32)
@@ -369,8 +393,7 @@ def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
         w3 = w2.reshape(cout, T, cin)
         w2 = jnp.broadcast_to(w3[:, :, None, :] / crep,
                               (cout, T, crep, cin)).reshape(cout, -1)
-    dyg = (T == 9 and blocks is None and offsets == tap_offsets(g.rs)
-           and _dyg_enabled())
+    dyg = T == 9 and offsets == tap_offsets(g.rs) and _dyg_enabled()
     if dyg:
         # dy-grouped transposed fold: columns (dy, dx, rows) -> sublanes
         # (dx, dy, rows), Cout -> lanes (see _conv_plane_kernel_dyg)
@@ -378,8 +401,7 @@ def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
         w2 = (w2.reshape(cout, 3, 3, rows).transpose(2, 1, 3, 0)
               .reshape(9 * rows, cout))
     f = _partitioned_conv(g.rs, apply_bn, str(jnp.dtype(xp.dtype)),
-                          g.mb, g.pad, tuple(offsets), dyg,
-                          tuple(blocks) if blocks is not None else None)
+                          g.mb, g.pad, tuple(offsets), dyg)
     return f(xp, w2.astype(xp.dtype),
              a.reshape(cin, 1).astype(jnp.float32),
              b.reshape(cin, 1).astype(jnp.float32), mask)
@@ -394,20 +416,31 @@ def _conv_plane_call(xp, w2, a, b, mask, *, rs: int, apply_bn: bool,
                      mb: int, pad: int,
                      offsets: Optional[Tuple[int, ...]] = None,
                      dyg: bool = False,
-                     blocks: Optional[Tuple[int, ...]] = None):
-    """The raw pallas_call on (possibly per-shard local) operands."""
+                     multi: Optional[Tuple[Tuple[int, int], ...]] = None,
+                     nb: int = 1):
+    """The raw pallas_call on (possibly per-shard local) operands.
+
+    ``multi``: static ((block, offset), ...) group tuple selecting the
+    multi-block kernel (:func:`_conv_plane_kernel_multi`): xp stacks ``nb``
+    channel blocks, w2 is [Q*cout_blk, G*cin_blk]."""
     if offsets is None:
         offsets = tap_offsets(rs)
     B, cin, Lbuf = xp.shape
-    if blocks is not None:
-        # parity-domain conv: xp stacks nb channel blocks; taps address them
+    if multi is not None:
         assert not dyg
-        nb = max(blocks) + 1
-        assert cin % nb == 0 and len(blocks) == len(offsets), (cin, blocks)
-        cin = cin // nb
-        assert cin % 8 == 0, ("blocks path needs 8-aligned per-block "
-                              "channels (pre-replicate tiny C_in)", cin)
-    if dyg:
+        G = len(multi)
+        cout, kcols = w2.shape
+        cin_blk = kcols // G
+        assert cin == nb * cin_blk, (cin, nb, cin_blk)
+        assert cin_blk % 8 == 0, ("multi path needs 8-aligned per-block "
+                                  "channels (pre-replicate tiny C_in)",
+                                  cin_blk)
+        kern = partial(_conv_plane_kernel_multi, groups=multi,
+                       cin=cin_blk, nb=nb, apply_bn=apply_bn, mb=mb, pad=pad)
+        w2_spec = pl.BlockSpec((cout, kcols), lambda bi, ji: (0, 0),
+                               memory_space=pltpu.VMEM)
+        scratch = pltpu.VMEM((kcols, mb), xp.dtype)
+    elif dyg:
         kcols, cout = w2.shape               # transposed dy-grouped fold
         crep = kcols // (9 * cin)
         rows = cin * crep
@@ -419,11 +452,8 @@ def _conv_plane_call(xp, w2, a, b, mask, *, rs: int, apply_bn: bool,
     else:
         cout, kcols = w2.shape
         crep = kcols // (len(offsets) * cin)
-        if blocks is not None:
-            assert crep == 1, "blocks path pre-replicates instead of crep"
         kern = partial(_conv_plane_kernel, offsets=offsets, cin=cin,
-                       crep=crep, apply_bn=apply_bn, mb=mb, pad=pad,
-                       blocks=blocks)
+                       crep=crep, apply_bn=apply_bn, mb=mb, pad=pad)
         w2_spec = pl.BlockSpec((cout, kcols), lambda bi, ji: (0, 0),
                                memory_space=pltpu.VMEM)
         scratch = pltpu.VMEM((kcols, mb), xp.dtype)
@@ -463,7 +493,8 @@ def _partitioned_conv(rs: int, apply_bn: bool, _dtype_key: str,
                       mb: int, pad: int,
                       offsets: Optional[Tuple[int, ...]] = None,
                       dyg: bool = False,
-                      blocks: Optional[Tuple[int, ...]] = None):
+                      multi: Optional[Tuple[Tuple[int, int], ...]] = None,
+                      nb: int = 1):
     """GSPMD-partitionable wrapper: the kernel is independent per batch
     element, so under a data mesh each shard runs the pallas_call on its
     LOCAL batch (w2/a/b/mask replicated); the BN stat partials stay
@@ -475,7 +506,7 @@ def _partitioned_conv(rs: int, apply_bn: bool, _dtype_key: str,
     def _raw(xp, w2, a, b, mask):
         return _conv_plane_call(xp, w2, a, b, mask, rs=rs, apply_bn=apply_bn,
                                 mb=mb, pad=pad, offsets=offsets, dyg=dyg,
-                                blocks=blocks)
+                                multi=multi, nb=nb)
 
     fn = custom_partitioning(_raw)
 
@@ -499,7 +530,8 @@ def _partitioned_conv(rs: int, apply_bn: bool, _dtype_key: str,
         def lower_fn(xp, w2, a, b, mask):
             return _conv_plane_call(xp, w2, a, b, mask, rs=rs,
                                     apply_bn=apply_bn, mb=mb, pad=pad,
-                                    offsets=offsets, dyg=dyg, blocks=blocks)
+                                    offsets=offsets, dyg=dyg,
+                                    multi=multi, nb=nb)
 
         return mesh, lower_fn, out_sh, arg_sh
 
@@ -1189,12 +1221,15 @@ def use_parity_chain(cin_img: int, c1: int, cu2: int,
     the backward pass needs 8-aligned cotangent channel blocks.
 
     ``CONTRASTYOU_PLANE_PARITY``: "1" opts in; default OFF — the on-chip
-    whole-model A/B measured the four-call parity chain SLOWER than the
-    interleaved plane chain (22.17 vs 15.60 ms fwd+bwd at 224^2 batch 10):
-    each per-output-parity kernel call re-loads the full 4-parity stacked
-    input block, quadrupling input traffic. Kept as a knob while the fused
-    single-pass variant is built. ``CONTRASTYOU_PALLAS_CONV=1`` runs it on
-    CPU in interpret mode (tests)."""
+    whole-model A/B ledger (224^2 batch 10, fwd+bwd, BENCH_NOTES round 3):
+    four-call form 22.17 ms (re-loads the stacked input per output
+    parity), fused multi kernel 16.65, + stats-free skip convs 16.28 — vs
+    15.56 ms interleaved. FORWARD-only the parity chain WINS (6.62 vs
+    7.20 ms): the glue savings are real, but the backward pays them back
+    in quarter-geometry guard-padding (every elementwise pass covers
+    lbuf/P = 1.42x the real lanes vs 1.20x at full res) and a 4x dW
+    einsum count. Kept as a measured knob. ``CONTRASTYOU_PALLAS_CONV=1``
+    runs it on CPU in interpret mode (tests)."""
     import os
     H, W = spatial
     if H % 2 or W % 2 or c1 % 8 or cu2 % 8:
@@ -1249,118 +1284,208 @@ def parity_tap_plan(a: int, b: int, rs: int):
     return tuple(blocks), tuple(offs)
 
 
-def _parity_bwd_plan(pr: int, pc: int, rs: int):
-    """(blocks, offsets) of the 9 dx taps for INPUT plane (pr, pc): the
-    transpose of :func:`parity_tap_plan` — tap (dy, dx) reads the stacked
-    output-parity cotangent block q at the negated quarter offset."""
-    blocks, offs = [], []
-    for dy in range(3):
-        for dx in range(3):
-            aa = (pr - dy + 1) & 1
-            bb = (pc - dx + 1) & 1
-            u, v = aa + dy - 1, bb + dx - 1
-            blocks.append(2 * aa + bb)
-            offs.append(-((u >> 1) * rs + (v >> 1)))
-    return tuple(blocks), tuple(offs)
-
-
 def _parity_crep(cin: int) -> int:
     """Replication factor making the per-block patch rows 8-aligned (the
-    ``blocks`` kernel slices the stacked parity planes at sublane offsets,
+    multi kernel slices the stacked parity planes at sublane offsets,
     which Mosaic requires 8-aligned)."""
     import math
     return 8 // math.gcd(cin, 8)
 
 
-def _parity_fwd_impl(xq, k3, mask, H, W, geo):
-    B, nb, cin, L = xq.shape
-    assert nb == 4, xq.shape
+def _multi_w2(plan, kts, order=None):
+    """Build the multi-kernel operands from a tap plan.
+
+    ``plan``: tuple over output blocks q of (tap, in_block, lane_offset)
+    triples; ``kts``: per-output-block tap weights [T_q, cin, cout];
+    ``order``: optional explicit ((in_block, offset), ...) group ordering
+    (kept deterministic so the lru-cached pallas wrappers hit). Returns
+    (groups, w2 [Q*cout, G*cin]) with zeros where an output block has no
+    tap in a group."""
+    if order is not None:
+        groups = list(order)
+        gidx = {g: i for i, g in enumerate(groups)}
+    else:
+        groups, gidx = [], {}
+        for entries in plan:
+            for (_t, bl, off) in entries:
+                if (bl, off) not in gidx:
+                    gidx[(bl, off)] = len(groups)
+                    groups.append((bl, off))
+    G = len(groups)
+    rows = []
+    for entries, kt in zip(plan, kts):
+        T, cinr, cout = kt.shape
+        sel = np.zeros((G, T), np.float32)
+        for (t, bl, off) in entries:
+            sel[gidx[(bl, off)], t] += 1.0
+        w = jnp.einsum("gt,tio->ogi", jnp.asarray(sel), kt)
+        rows.append(w.reshape(cout, G * cinr))
+    return tuple(groups), jnp.concatenate(rows, 0)
+
+
+def _transpose_plan(plan, nb_in: int):
+    """Transpose of a multi tap plan: per INPUT block, the taps that read
+    each stacked output-cotangent block at the negated offset. Returns
+    (plan_T, kt_map) with kt_map[b][j] = (q, t) naming the forward weight
+    whose transpose tap j of input block b uses."""
+    plan_T, kt_map = [], []
+    for bl in range(nb_in):
+        entries, kmap = [], []
+        for q, ents in enumerate(plan):
+            for (t, bl2, off) in ents:
+                if bl2 == bl:
+                    entries.append((len(entries), q, -off))
+                    kmap.append((q, t))
+        plan_T.append(tuple(entries))
+        kt_map.append(tuple(kmap))
+    return tuple(plan_T), tuple(kt_map)
+
+
+def _pcms_impl(xp, kts, mask, H, W, geo, plan, order):
+    cinr = kts[0].shape[1]
+    groups, w2 = _multi_w2(plan, kts, order)
+    if max(abs(off) for _, off in groups) > geo.pad:
+        raise ValueError(
+            f"multi plane conv offsets exceed the halo pad={geo.pad}")
+    crows = xp.shape[1]
+    nb = crows // cinr
+    f = _partitioned_conv(geo.rs, False, str(jnp.dtype(xp.dtype)),
+                          geo.mb, geo.pad, None, False, tuple(groups), nb)
+    a = jnp.ones((crows, 1), jnp.float32)
+    b = jnp.zeros((crows, 1), jnp.float32)
+    out, part = f(xp, w2.astype(xp.dtype), a, b, mask)
+    out = jnp.where(mask[None] > 0, out, 0).astype(xp.dtype)
+    s = part.sum(1)                                         # [B, 2, Q*C]
+    return out, s[:, 0], s[:, 1]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def plane_conv_multi_stats(xp: jnp.ndarray, kts, mask: jnp.ndarray,
+                           H: int, W: int, geo: PlaneGeo, spec):
+    """ONE multi-block plane conv producing ALL output blocks of a static
+    tap plan (see :func:`_multi_w2`), plus the masked per-sample
+    (sum, sumsq) [B, Q*cout] of each output block — the workhorse of the
+    parity-domain chain: the stacked input is loaded once per grid step
+    for every output parity (the earlier per-output-parity calls re-read
+    it four times, measured 22.17 vs 15.60 ms whole-model).
+
+    ``spec`` = (plan, order_F, order_T[, want_stats]): the plan plus the
+    forward / dx group orderings (shared orderings let the lru-cached
+    pallas wrappers be reused across directions). ``want_stats=False``
+    returns only ``out`` AND — the real point — skips the backward's
+    stats-cotangent assembly (g_s/g_sq fold over the full f32 planes,
+    ~4 memory passes that profile as pure overhead when the caller
+    discards the stats, e.g. the skip-split conv0). Backward: dx is the
+    TRANSPOSED plan through the same kernel (:func:`_transpose_plan`); dk
+    is one sliced einsum per plan entry. ``cout`` must be 8-aligned
+    (cotangent block slicing)."""
+    plan, order_F = spec[0], spec[1]
+    res = _pcms_impl(xp, kts, mask, H, W, geo, plan, order_F)
+    return res if _spec_stats(spec) else res[0]
+
+
+def _spec_stats(spec) -> bool:
+    return spec[3] if len(spec) > 3 else True
+
+
+def _pcms_fwd(xp, kts, mask, H, W, geo, spec):
+    plan, order_F = spec[0], spec[1]
+    out, s, sq = _pcms_impl(xp, kts, mask, H, W, geo, plan, order_F)
+    if _spec_stats(spec):
+        return (out, s, sq), (xp, kts, mask, out)
+    return out, (xp, kts, mask, out)
+
+
+def _pcms_bwd(H, W, geo, spec, res, cot):
+    plan, order_T = spec[0], spec[2]
+    xp, kts, mask, out = res
+    B, crows, L = xp.shape
+    cinr, cout = kts[0].shape[1], kts[0].shape[2]
+    nb = crows // cinr
+    Q = len(plan)
+    assert cout % 8 == 0, cout               # cotangent block slicing
+    if _spec_stats(spec):
+        g_out, g_s, g_sq = cot
+        g = (g_out.astype(jnp.float32)
+             + mask[None] * (g_s[:, :, None]
+                             + 2.0 * out.astype(jnp.float32)
+                             * g_sq[:, :, None]))
+        g = jnp.where(mask[None] > 0, g, 0).astype(xp.dtype)
+    else:
+        g = jnp.where(mask[None] > 0, cot, 0).astype(xp.dtype)
+    plan_T, kt_map = _transpose_plan(plan, nb)
+    ktsT = tuple(jnp.stack([kts[q][t].transpose(1, 0) for (q, t) in kmap], 0)
+                 for kmap in kt_map)
+    dxp = _pcms_impl(g, ktsT, mask, H, W, geo, plan_T, order_T)[0]
+    # dk: one quarter-size sliced einsum per plan entry
+    gcore = [g[:, q * cout:(q + 1) * cout,
+               geo.mb:geo.mb + geo.P].astype(jnp.float32)
+             for q in range(Q)]
+    dkts = []
+    for q, entries in enumerate(plan):
+        slots = [None] * kts[q].shape[0]
+        for (t, bl, off) in entries:
+            xs = jax.lax.dynamic_slice_in_dim(
+                xp[:, bl * cinr:(bl + 1) * cinr], geo.mb + off, geo.P, 2)
+            dt = jnp.einsum("bil,bol->io", xs.astype(jnp.float32), gcore[q],
+                            preferred_element_type=jnp.float32)
+            slots[t] = dt if slots[t] is None else slots[t] + dt
+        dkts.append(jnp.stack(
+            [s if s is not None else jnp.zeros((cinr, cout), jnp.float32)
+             for s in slots], 0).astype(kts[q].dtype))
+    return dxp, tuple(dkts), None
+
+
+plane_conv_multi_stats.defvjp(_pcms_fwd, _pcms_bwd)
+
+
+def _parity_group_order(rs: int):
+    """Canonical (block, offset) ordering of the 16 parity-conv groups —
+    u-major, v-minor over the full-resolution tap coordinates — shared by
+    the forward and (by flip symmetry) dx plans so the lru-cached pallas
+    wrappers are reused across both directions."""
+    return tuple((2 * (u & 1) + (v & 1), (u >> 1) * rs + (v >> 1))
+                 for u in (-1, 0, 1, 2) for v in (-1, 0, 1, 2))
+
+
+def parity_conv3x3_stats(xq: jnp.ndarray, k3: jnp.ndarray, mask: jnp.ndarray,
+                         H: int, W: int, geo: PlaneGeo,
+                         with_stats: bool = True):
+    """3x3 SAME conv in the parity domain: parity planes [B, 4, Cin, Lbuf]
+    at quarter resolution (H, W) x HWIO ``k3`` -> parity preactivations
+    [B, 4, Cout, Lbuf] plus the masked per-sample (sum, sumsq) [B, Cout] of
+    the FULL-resolution output — ONE fused kernel pass over the stacked
+    parity planes (:func:`plane_conv_multi_stats`). Numerically identical
+    (up to accumulation order) to interleave -> plane_conv_stats ->
+    deinterleave. ``with_stats=False`` returns only the preactivations and
+    skips the stats-cotangent assembly in backward (for callers that
+    reduce their own stats, e.g. the skip-split conv0).
+    Ref semantics: arch/unet.py:16-31."""
+    B, nbq, cin, L = xq.shape
+    assert nbq == 4, xq.shape
     cout = k3.shape[-1]
-    crep = _parity_crep(cin)                 # blocks need 8-aligned rows
+    crep = _parity_crep(cin)
     xs, k = xq, k3
     if crep > 1:
         xs = jnp.repeat(xq, crep, axis=2)
         k = jnp.repeat(k3, crep, axis=2) / crep
-    flat = xs.reshape(B, 4 * cin * crep, L)
-    w2 = fold_taps(k.reshape(9, cin * crep, cout))
-    outs, part_sum = [], 0.0
+    cinr = cin * crep
+    flat = xs.reshape(B, 4 * cinr, L)
+    kt = k.reshape(9, cinr, cout)
+    plan = []
     for q in range(4):
         blocks, offs = parity_tap_plan(q // 2, q % 2, geo.rs)
-        o, part = conv_plane_geo(flat, w2, mask, H, W, geo=geo,
-                                 offsets=offs, blocks=blocks)
-        outs.append(jnp.where(mask[None] > 0, o, 0).astype(xq.dtype))
-        part_sum = part_sum + part.sum(1)                    # [B, 2, C]
-    return jnp.stack(outs, 1), part_sum[:, 0], part_sum[:, 1]
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def parity_conv3x3_stats(xq: jnp.ndarray, k3: jnp.ndarray, mask: jnp.ndarray,
-                         H: int, W: int, geo: PlaneGeo):
-    """3x3 SAME conv in the parity domain: parity planes [B, 4, Cin, Lbuf]
-    at quarter resolution (H, W) x HWIO ``k3`` -> parity preactivations
-    [B, 4, Cout, Lbuf] plus the masked per-sample (sum, sumsq) [B, Cout] of
-    the FULL-resolution output (kernel stat partials summed over parities).
-    Numerically identical (up to bf16 accumulation order) to interleave ->
-    plane_conv_stats -> deinterleave. Ref semantics: arch/unet.py:16-31."""
-    return _parity_fwd_impl(xq, k3, mask, H, W, geo)
-
-
-def _parity_cv_fwd(xq, k3, mask, H, W, geo):
-    outs, ssum, ssq = _parity_fwd_impl(xq, k3, mask, H, W, geo)
-    return (outs, ssum, ssq), (xq, k3, mask, outs)
-
-
-def _parity_cv_bwd(H, W, geo, res, cot):
-    xq, k3, mask, outs = res
-    g_out, g_s, g_sq = cot
-    B, _, cin, L = xq.shape
-    cout = k3.shape[-1]
-    assert cout % 8 == 0, cout               # cotangent block alignment
-    g = (g_out.astype(jnp.float32)
-         + mask[None, None] * (g_s[:, None, :, None]
-                               + 2.0 * outs.astype(jnp.float32)
-                               * g_sq[:, None, :, None]))
-    g = jnp.where(mask[None, None] > 0, g, 0).astype(xq.dtype)
-    gflat = g.reshape(B, 4 * cout, L)
-    # dx: same blocks kernel over the stacked parity cotangents; tiny Cin
-    # is handled by replicating the KT columns (identical replica outputs;
-    # keep the first) so per-block output rows stay 8-aligned.
-    crep = _parity_crep(cin)
-    kT = k3.transpose(0, 1, 3, 2).reshape(9, cout, cin)      # [9,Cout,Cin]
-    if crep > 1:
-        kT = jnp.tile(kT, (1, 1, crep))
-    w2T = fold_taps(kT)
-    dqs = []
-    for p in range(4):
-        blocks, offs = _parity_bwd_plan(p // 2, p % 2, geo.rs)
-        d, _ = conv_plane_geo(gflat, w2T, mask, H, W, geo=geo,
-                              offsets=offs, blocks=blocks)
-        d = jnp.where(mask[None] > 0, d, 0)[:, :cin]
-        dqs.append(d.astype(xq.dtype))
-    dxq = jnp.stack(dqs, 1)
-    # dk[dy,dx] = sum_q x[plane(q,dy,dx)] (shifted) x g[q] — 36 quarter-size
-    # sliced einsums (the parity split of the 9 full-size ones)
-    gcore = [g[:, q, :, geo.mb:geo.mb + geo.P].astype(jnp.float32)
-             for q in range(4)]
-    dks = []
-    for dy in range(3):
-        for dx in range(3):
-            acc = 0.0
-            for q in range(4):
-                u, v = q // 2 + dy - 1, q % 2 + dx - 1
-                p = 2 * (u & 1) + (v & 1)
-                off = (u >> 1) * geo.rs + (v >> 1)
-                xs = jax.lax.dynamic_slice_in_dim(
-                    xq[:, p], geo.mb + off, geo.P, 2).astype(jnp.float32)
-                acc = acc + jnp.einsum(
-                    "bim,bom->io", xs, gcore[q],
-                    preferred_element_type=jnp.float32)
-            dks.append(acc)
-    dk3 = jnp.stack(dks, 0).reshape(3, 3, cin, cout)
-    return dxq, dk3.astype(k3.dtype), None
-
-
-parity_conv3x3_stats.defvjp(_parity_cv_fwd, _parity_cv_bwd)
+        plan.append(tuple((t, blocks[t], offs[t]) for t in range(9)))
+    order = _parity_group_order(geo.rs)
+    if not with_stats:
+        out = plane_conv_multi_stats(flat, (kt,) * 4, mask, H, W, geo,
+                                     (tuple(plan), order, order, False))
+        return out.reshape(B, 4, cout, L)
+    out, s, sq = plane_conv_multi_stats(flat, (kt,) * 4, mask, H, W, geo,
+                                        (tuple(plan), order, order))
+    outs = out.reshape(B, 4, cout, L)
+    return (outs, s.reshape(B, 4, cout).sum(1),
+            sq.reshape(B, 4, cout).sum(1))
 
 
 def parity_split_to_planes(x: jnp.ndarray, dtype, geo: PlaneGeo):
@@ -1412,10 +1537,10 @@ def parity_convblock_stage(xq, skipq, k0, k1, affine0, affine1, *,
     hw = 4 * Hq * Wq
     if skipq is not None:
         cs = skipq.shape[2]
-        o_s, _, _ = parity_conv3x3_stats(skipq, k0[:, :, :cs], mask,
-                                         Hq, Wq, geo)
-        o_x, _, _ = parity_conv3x3_stats(xq, k0[:, :, cs:], mask,
-                                         Hq, Wq, geo)
+        o_s = parity_conv3x3_stats(skipq, k0[:, :, :cs], mask,
+                                   Hq, Wq, geo, with_stats=False)
+        o_x = parity_conv3x3_stats(xq, k0[:, :, cs:], mask,
+                                   Hq, Wq, geo, with_stats=False)
         p0 = (o_s + o_x).astype(dtype)
         s0, sq0 = _parity_masked_stats(p0, mask)
     else:
@@ -1434,18 +1559,33 @@ def upconv_plane_parity(xp: jnp.ndarray, k3: jnp.ndarray, H: int, W: int,
                         geo_in: PlaneGeo):
     """:func:`upconv_plane` WITHOUT the interleave: the four parity-class
     convs stay as planes [B, 4, Cout, Lbuf_in] in the INPUT geometry —
-    which IS the parity-domain quarter geometry of the (2H, 2W) output.
-    Stats identical to upconv_plane (masked sums of the full output)."""
-    mask_in = border_mask(H, W, geo_in)
-    outs, ssum, ssq = [], 0.0, 0.0
+    which IS the parity-domain quarter geometry of the (2H, 2W) output —
+    and run as ONE fused kernel pass (:func:`plane_conv_multi_stats`, the
+    input loaded once for all four parity outputs). Stats identical to
+    upconv_plane (masked sums of the full output)."""
+    B, cin, _ = xp.shape
+    crep = _parity_crep(cin)
+    xs, k = xp, k3
+    if crep > 1:
+        xs = jnp.repeat(xp, crep, axis=1)
+        k = jnp.repeat(k3, crep, axis=2) / crep
+    kts, plan = [], []
     for a in (0, 1):
         for b in (0, 1):
-            taps, offs = _parity_taps(k3, a, b, geo_in.rs)
-            o, s, sq = plane_conv_taps_stats(xp, taps, mask_in, H, W,
-                                             geo_in, offs)
-            outs.append(o)
-            ssum, ssq = ssum + s, ssq + sq
-    return jnp.stack(outs, 1), ssum, ssq
+            taps, offs = _parity_taps(k, a, b, geo_in.rs)
+            kts.append(taps)                         # [4, cin*crep, cout]
+            plan.append(tuple((t, 0, offs[t]) for t in range(len(offs))))
+    rs = geo_in.rs
+    order_f = tuple((0, sr * rs + sc)
+                    for sr in (-1, 0, 1) for sc in (-1, 0, 1))
+    order_t = _parity_group_order(rs)       # dx: 4 cotangent blocks
+    mask_in = border_mask(H, W, geo_in)
+    out, s, sq = plane_conv_multi_stats(xs, tuple(kts), mask_in, H, W,
+                                        geo_in,
+                                        (tuple(plan), order_f, order_t))
+    cout = k3.shape[-1]
+    return (out.reshape(B, 4, cout, out.shape[-1]),
+            s.reshape(B, 4, cout).sum(1), sq.reshape(B, 4, cout).sum(1))
 
 
 def parity_head_to_nhwc(xq: jnp.ndarray, kernel: jnp.ndarray,
