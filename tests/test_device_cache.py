@@ -93,3 +93,20 @@ def test_cached_trainer_end_to_end(tmp_path, data_root, dataset):
     assert np.isfinite(score)
     assert (tmp_path / "run" / "storage.csv").exists()
     assert (tmp_path / "run" / "last").exists()
+
+
+def test_mxu_crop_matches_slice_crop(monkeypatch, dataset):
+    """The one-hot-matmul random crop (TPU default; the vmapped
+    dynamic_slice lowers to a serialized DS+DUS loop there) is BIT-exact
+    vs the slice form through the public sample()."""
+    import contrastyou_tpu.data.device_cache as dc
+    cache = DeviceDataCache.from_dataset(dataset, crop=CROP)
+    key = jax.random.PRNGKey(7)
+    monkeypatch.setenv("CONTRASTYOU_MXU_CROP", "0")
+    a = cache.sample(key, 6)
+    monkeypatch.setenv("CONTRASTYOU_MXU_CROP", "1")
+    b = cache.sample(key, 6)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+    assert b["image"].dtype == a["image"].dtype
+    assert b["target"].dtype == a["target"].dtype
