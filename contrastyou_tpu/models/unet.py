@@ -151,6 +151,14 @@ class _BNState(nn.Module):
         return scale, bias, mean, var
 
 
+def _running_affine(scale, bias, ra_mean, ra_var, eps: float):
+    """Inference-mode BN folded to a per-channel f32 affine (a, b) built
+    from the RUNNING statistics — feeds the plane/parity kernel stages'
+    ``eval_affine`` (exact nn.BatchNorm ``use_running_average`` math)."""
+    a = scale * jax.lax.rsqrt(ra_var.value + eps)
+    return a, bias - a * ra_mean.value
+
+
 def _group_slices(B: int, groups: Tuple[int, ...]):
     offs, out = 0, []
     for g in groups:
@@ -254,7 +262,7 @@ class ConvBlock(nn.Module):
         if parity_info is not None:
             # parity-domain stage: x/skip are [B, 4, C, Lbuf] parity planes
             # at quarter resolution (ops/pallas/convblock.py section doc)
-            assert train and not plane_io, "parity stage is train-only"
+            assert not plane_io, "parity stage excludes dense plane IO"
             cin_x, cin_s = x.shape[2], skip.shape[2] if skip is not None else 0
         else:
             cin_x = x.shape[1] if plane_info is not None else x.shape[-1]
@@ -273,34 +281,43 @@ class ConvBlock(nn.Module):
                 x, skip, k0.astype(self.dtype), k1.astype(self.dtype),
                 (s0, b0), (s1, b1), eps=self.eps, dtype=self.dtype,
                 Hq=Hq, Wq=Wq, geo=geo,
-                bn_groups=tuple(bn_groups) if bn_groups else None)
-            upd = bn_update or (True,) * len(mv0)
-            for (mu, va), do_upd in zip(mv0, upd):
-                if do_upd:
-                    self._update_running(m0, v0, mu, va)
-            for (mu, va), do_upd in zip(mv1, upd):
-                if do_upd:
-                    self._update_running(m1, v1, mu, va)
+                bn_groups=tuple(bn_groups) if bn_groups else None,
+                eval_affine=None if train else (
+                    _running_affine(s0, b0, m0, v0, self.eps),
+                    _running_affine(s1, b1, m1, v1, self.eps)))
+            if train:
+                upd = bn_update or (True,) * len(mv0)
+                for (mu, va), do_upd in zip(mv0, upd):
+                    if do_upd:
+                        self._update_running(m0, v0, mu, va)
+                for (mu, va), do_upd in zip(mv1, upd):
+                    if do_upd:
+                        self._update_running(m1, v1, mu, va)
             return out
 
         spatial = (plane_info if plane_info is not None
                    else (x.shape[1], x.shape[2]))
-        if train and use_pallas_stage(self.features, self.dtype,
-                                      spatial, cmax=cin):
+        if ((plane_io or not self.is_initializing())
+                and use_pallas_stage(self.features, self.dtype, spatial,
+                                     cmax=cin)):
             from ..ops.pallas.convblock import convblock_stage
             out, (g_mv0, g_mv1) = convblock_stage(
                 x, skip, k0.astype(self.dtype), k1.astype(self.dtype),
                 (s0, b0), (s1, b1), eps=self.eps, dtype=self.dtype,
                 bn_groups=tuple(bn_groups) if bn_groups else None,
                 plane_info=plane_info, skip_is_plane=skip_is_plane,
-                plane_out=plane_out)
-            upd = bn_update or (True,) * len(g_mv0)
-            for (mu, va), do_upd in zip(g_mv0, upd):
-                if do_upd:
-                    self._update_running(m0, v0, mu, va)
-            for (mu, va), do_upd in zip(g_mv1, upd):
-                if do_upd:
-                    self._update_running(m1, v1, mu, va)
+                plane_out=plane_out,
+                eval_affine=None if train else (
+                    _running_affine(s0, b0, m0, v0, self.eps),
+                    _running_affine(s1, b1, m1, v1, self.eps)))
+            if train:
+                upd = bn_update or (True,) * len(g_mv0)
+                for (mu, va), do_upd in zip(g_mv0, upd):
+                    if do_upd:
+                        self._update_running(m0, v0, mu, va)
+                for (mu, va), do_upd in zip(g_mv1, upd):
+                    if do_upd:
+                        self._update_running(m1, v1, mu, va)
             return out
         assert not plane_io, (
             "plane IO flags passed to a ConvBlock that did not route to the "
@@ -433,14 +450,14 @@ class UpConv(nn.Module):
                  bn_update=None, plane_info=None, plane_out_geo=None,
                  parity_out=None):
         if parity_out is not None:
-            assert self.norm == "batchnorm" and train and plane_out_geo is None
+            assert self.norm == "batchnorm" and plane_out_geo is None
             return self._parity_path(x, plane_info, parity_out,
-                                     bn_groups, bn_update)
+                                     bn_groups, bn_update, train)
         if plane_out_geo is not None:
-            assert self.norm == "batchnorm" and train, \
-                "plane UpConv requires batchnorm train mode"
+            assert self.norm == "batchnorm", \
+                "plane UpConv requires batchnorm"
             return self._plane_path(x, plane_info, plane_out_geo,
-                                    bn_groups, bn_update)
+                                    bn_groups, bn_update, train)
         assert plane_info is None, "plane input requires plane_out_geo"
         # one fused upsample+conv; param tree identical to
         # nn.Conv(features, (3,3), use_bias=False, name="conv")
@@ -454,7 +471,8 @@ class UpConv(nn.Module):
                          name="gn")(x)
         return nn.relu(x)
 
-    def _plane_path(self, x, plane_info, geo_out, bn_groups, bn_update):
+    def _plane_path(self, x, plane_info, geo_out, bn_groups, bn_update,
+                    train=True):
         from ..ops.pallas.convblock import (_broadcast_affine, _group_mv,
                                             apply_bn_relu_planes,
                                             border_mask, pick_geometry,
@@ -473,6 +491,10 @@ class UpConv(nn.Module):
         s, b, m, v = _BNState(self.features, name="bn")()
         p, ssum, ssq = upconv_plane(xp, kernel.astype(self.dtype), H, W,
                                     geo_in, geo_out)
+        if not train:
+            a_ps, b_ps = _running_affine(s, b, m, v, self.eps)
+            return apply_bn_relu_planes(p, a_ps, b_ps,
+                                        border_mask(2 * H, 2 * W, geo_out))
         groups = tuple(bn_groups) if bn_groups else (B,)
         mvs = _group_mv(ssum, ssq, groups, 4 * H * W)
         upd = bn_update or (True,) * len(mvs)
@@ -487,7 +509,8 @@ class UpConv(nn.Module):
         return apply_bn_relu_planes(p, a_ps, b_ps,
                                     border_mask(2 * H, 2 * W, geo_out))
 
-    def _parity_path(self, x, plane_info, parity_out, bn_groups, bn_update):
+    def _parity_path(self, x, plane_info, parity_out, bn_groups, bn_update,
+                     train=True):
         """upsample2x+conv3x3+BN+ReLU whose (2H, 2W) output STAYS as the
         four parity planes [B, 4, Cout, Lbuf] at the input's quarter
         geometry (ops/pallas/convblock.py ``upconv_plane_parity``) — the
@@ -510,6 +533,10 @@ class UpConv(nn.Module):
         s, b, m, v = _BNState(self.features, name="bn")()
         p, ssum, ssq = upconv_plane_parity(xp, kernel.astype(self.dtype),
                                            Hq, Wq, geo)
+        if not train:
+            a_ps, b_ps = _running_affine(s, b, m, v, self.eps)
+            return _apply_bn_relu_parity(p, a_ps, b_ps,
+                                         border_mask(Hq, Wq, geo))
         groups = tuple(bn_groups) if bn_groups else (B,)
         mvs = _group_mv(ssum, ssq, groups, 4 * Hq * Wq)
         upd = bn_update or (True,) * len(mvs)
@@ -628,13 +655,19 @@ class UNet(nn.Module):
         cu3, cu2 = (self.get_channel_dim("Up_conv3"),
                     self.get_channel_dim("Up_conv2"))
 
-        r1 = (bn and train
-              and use_pallas_stage(c1, self.dtype, (H, W), cmax=Cin))
-        r2 = (bn and train and H % 2 == 0 and W % 2 == 0
+        # the plane stages run in BOTH modes (round 3): train forms batch
+        # statistics in-kernel; eval folds the running stats to a
+        # per-channel affine (eval_affine) — teacher/eval/inference
+        # forwards get the same kernel wins as the train step. init skips
+        # kernel routing entirely (same param tree, output unused — avoids
+        # pointless kernel compiles in bundle.create).
+        bn = bn and not self.is_initializing()
+        r1 = bn and use_pallas_stage(c1, self.dtype, (H, W), cmax=Cin)
+        r2 = (bn and H % 2 == 0 and W % 2 == 0
               and use_pallas_stage(c2, self.dtype, (H2, W2), cmax=c1))
-        ru3 = (bn and train
+        ru3 = (bn
                and use_pallas_stage(cu3, self.dtype, (H2, W2), cmax=cu3 + c2))
-        ru2 = (bn and train
+        ru2 = (bn
                and use_pallas_stage(cu2, self.dtype, (H, W), cmax=cu2 + c1))
         g1 = stage_geometry(H, W, Cin, c1, 0, self.dtype) if r1 else None
         g2 = stage_geometry(H2, W2, c1, c2, 0, self.dtype) if r2 else None
@@ -654,10 +687,14 @@ class UNet(nn.Module):
         from ..ops.pallas.convblock import (parity_pool,
                                             parity_split_to_planes,
                                             use_parity_chain)
-        par = (chain_ok and bn and train
+        # forward-only applications (train=False is never differentiated)
+        # default INTO the parity chain — it wins forward-only (-8%) and
+        # only loses when the backward pays the quarter-geometry padding
+        par = (chain_ok and bn
                and "Conv1" not in taps and until != "Conv1"
                and "Up_conv2" not in taps and until != "Up_conv2"
-               and use_parity_chain(Cin, c1, cu2, (H, W), self.dtype))
+               and use_parity_chain(Cin, c1, cu2, (H, W), self.dtype,
+                                    fwd_only=not train))
         gq = (stage_geometry(H2, W2, cu2, cu2, c1, self.dtype)
               if par else None)
         if par and r2 and stage_geometry(H2, W2, c1, c2, 0,

@@ -810,7 +810,8 @@ def convblock_stage(x: jnp.ndarray, skip: Optional[jnp.ndarray],
                     bn_groups: Optional[Tuple[int, ...]] = None,
                     plane_info: Optional[Tuple[int, int]] = None,
                     skip_is_plane: bool = False,
-                    plane_out: bool = False):
+                    plane_out: bool = False,
+                    eval_affine=None):
     """Full ConvBlock (conv0[+skip split] -> BN -> ReLU -> conv1 -> BN ->
     ReLU) on planes, batch-statistics mode. Fully differentiable: the convs
     are Pallas (custom VJP), the BN/ReLU/stat glue is XLA on plane layouts.
@@ -832,6 +833,12 @@ def convblock_stage(x: jnp.ndarray, skip: Optional[jnp.ndarray],
     (g_mv0, g_mv1)) where each g_mv is a list of per-group (mean, var) f32
     pairs (length 1 without groups) — they feed the caller's
     running-average updates.
+
+    ``eval_affine=((a0, b0), (a1, b1))`` (f32 [C] vectors precomputed from
+    RUNNING stats) switches the stage to inference-mode BN — the affine is
+    applied directly, no batch statistics are formed, and the returned
+    mv lists are ``None`` (round 3: eval/teacher forwards route through
+    the plane kernels too; ref nn.BatchNorm eval semantics).
 
     ``skip`` reproduces ConvBlock(skip=...): conv0 acts on
     ``concat([skip, x], -1)`` via two plane convs on slices of ``k0``.
@@ -866,15 +873,25 @@ def convblock_stage(x: jnp.ndarray, skip: Optional[jnp.ndarray],
         # that and is the only layout that fits.)
         p0 = (plane_conv(sp, k0[:, :, :cs], mask, H, W, geo)
               + plane_conv(xp, k0[:, :, cs:], mask, H, W, geo)).astype(dtype)
-        s0, sq0 = masked_stats_per_sample(p0, mask)
-    else:
+        if eval_affine is None:
+            s0, sq0 = masked_stats_per_sample(p0, mask)
+    elif eval_affine is None:
         p0, s0, sq0 = plane_conv_stats(xp, k0, mask, H, W, geo)
-    mv0 = _group_mv(s0, sq0, groups, hw)
-    a0, b0 = _broadcast_affine(mv0, affine0[0], affine0[1], groups, eps)
+    else:
+        p0 = plane_conv(xp, k0, mask, H, W, geo).astype(dtype)
+    if eval_affine is None:
+        mv0 = _group_mv(s0, sq0, groups, hw)
+        a0, b0 = _broadcast_affine(mv0, affine0[0], affine0[1], groups, eps)
+    else:
+        mv0 = mv1 = None
+        (a0, b0), (a1, b1) = eval_affine
     h0 = apply_bn_relu_planes(p0, a0, b0, mask)
-    p1, s1, sq1 = plane_conv_stats(h0, k1, mask, H, W, geo)
-    mv1 = _group_mv(s1, sq1, groups, hw)
-    a1, b1 = _broadcast_affine(mv1, affine1[0], affine1[1], groups, eps)
+    if eval_affine is None:
+        p1, s1, sq1 = plane_conv_stats(h0, k1, mask, H, W, geo)
+        mv1 = _group_mv(s1, sq1, groups, hw)
+        a1, b1 = _broadcast_affine(mv1, affine1[0], affine1[1], groups, eps)
+    else:
+        p1 = plane_conv(h0, k1, mask, H, W, geo).astype(dtype)
     h1 = apply_bn_relu_planes(p1, a1, b1, mask)
     if plane_out:
         return h1, (mv0, mv1)
@@ -1214,7 +1231,7 @@ def use_plane_upconv(features: int, cin: int, spatial_in: Tuple[int, int],
 
 def use_parity_chain(cin_img: int, c1: int, cu2: int,
                      spatial: Tuple[int, int],
-                     dtype=jnp.bfloat16) -> bool:
+                     dtype=jnp.bfloat16, fwd_only: bool = False) -> bool:
     """Gate for the parity-domain widest-level chain (see the section
     comment below): env/backend policy plus feasibility — the stacked
     4-parity planes of the widest stage must fit one VMEM input block and
@@ -1228,7 +1245,10 @@ def use_parity_chain(cin_img: int, c1: int, cu2: int,
     7.20 ms): the glue savings are real, but the backward pays them back
     in quarter-geometry guard-padding (every elementwise pass covers
     lbuf/P = 1.42x the real lanes vs 1.20x at full res) and a 4x dW
-    einsum count. Kept as a measured knob. ``CONTRASTYOU_PALLAS_CONV=1``
+    einsum count. Kept as a measured knob. ``fwd_only=True`` (eval /
+    teacher forwards, which are never differentiated) flips the default
+    to ON — those passes get the forward win without the backward cost
+    ("0" still disables both directions). ``CONTRASTYOU_PALLAS_CONV=1``
     runs it on CPU in interpret mode (tests)."""
     import os
     H, W = spatial
@@ -1246,7 +1266,9 @@ def use_parity_chain(cin_img: int, c1: int, cu2: int,
     # stacked 4-parity input block + patches scratch residency
     if (4 * cmax * geo.lbuf + 9 * cmax * geo.mb) * itemsize > (14 << 20):
         return False
-    if os.environ.get("CONTRASTYOU_PLANE_PARITY", "0") != "1":
+    knob = os.environ.get("CONTRASTYOU_PLANE_PARITY", "fwd" if fwd_only
+                          else "0")
+    if knob != "1" and not (fwd_only and knob == "fwd"):
         return False
     raw = os.environ.get("CONTRASTYOU_PALLAS_CONV", "")
     if raw == "0":
@@ -1526,11 +1548,14 @@ def _parity_masked_stats(pq, mask):
 def parity_convblock_stage(xq, skipq, k0, k1, affine0, affine1, *,
                            eps: float, dtype, Hq: int, Wq: int,
                            geo: PlaneGeo,
-                           bn_groups: Optional[Tuple[int, ...]] = None):
+                           bn_groups: Optional[Tuple[int, ...]] = None,
+                           eval_affine=None):
     """:func:`convblock_stage` in the parity domain: parity planes in ->
     parity planes out, identical BN semantics (per-group batch statistics
     over the full-resolution output). ``skipq`` reproduces the decoder
-    concat via two parity convs on slices of ``k0``."""
+    concat via two parity convs on slices of ``k0``. ``eval_affine``:
+    inference-mode BN exactly as in :func:`convblock_stage` (returned mv
+    lists are ``None``)."""
     B = xq.shape[0]
     mask = border_mask(Hq, Wq, geo)
     groups = tuple(bn_groups) if bn_groups else (B,)
@@ -1542,15 +1567,27 @@ def parity_convblock_stage(xq, skipq, k0, k1, affine0, affine1, *,
         o_x = parity_conv3x3_stats(xq, k0[:, :, cs:], mask,
                                    Hq, Wq, geo, with_stats=False)
         p0 = (o_s + o_x).astype(dtype)
-        s0, sq0 = _parity_masked_stats(p0, mask)
-    else:
+        if eval_affine is None:
+            s0, sq0 = _parity_masked_stats(p0, mask)
+    elif eval_affine is None:
         p0, s0, sq0 = parity_conv3x3_stats(xq, k0, mask, Hq, Wq, geo)
-    mv0 = _group_mv(s0, sq0, groups, hw)
-    a0, b0 = _broadcast_affine(mv0, affine0[0], affine0[1], groups, eps)
+    else:
+        p0 = parity_conv3x3_stats(xq, k0, mask, Hq, Wq, geo,
+                                  with_stats=False).astype(dtype)
+    if eval_affine is None:
+        mv0 = _group_mv(s0, sq0, groups, hw)
+        a0, b0 = _broadcast_affine(mv0, affine0[0], affine0[1], groups, eps)
+    else:
+        mv0 = mv1 = None
+        (a0, b0), (a1, b1) = eval_affine
     h0 = _apply_bn_relu_parity(p0, a0, b0, mask)
-    p1, s1, sq1 = parity_conv3x3_stats(h0, k1, mask, Hq, Wq, geo)
-    mv1 = _group_mv(s1, sq1, groups, hw)
-    a1, b1 = _broadcast_affine(mv1, affine1[0], affine1[1], groups, eps)
+    if eval_affine is None:
+        p1, s1, sq1 = parity_conv3x3_stats(h0, k1, mask, Hq, Wq, geo)
+        mv1 = _group_mv(s1, sq1, groups, hw)
+        a1, b1 = _broadcast_affine(mv1, affine1[0], affine1[1], groups, eps)
+    else:
+        p1 = parity_conv3x3_stats(h0, k1, mask, Hq, Wq, geo,
+                                  with_stats=False).astype(dtype)
     h1 = _apply_bn_relu_parity(p1, a1, b1, mask)
     return h1, (mv0, mv1)
 
