@@ -29,12 +29,45 @@ def warmup_cosine_schedule(*, base_lr: float, multiplier: float,
                            eta_min: float = 1e-7) -> optax.Schedule:
     """lr ramps base_lr -> base_lr*multiplier over warmup_max epochs, then
     cosine anneals to eta_min over the remaining epochs."""
+    return warmup_schedule(base_lr=base_lr, multiplier=multiplier,
+                           warmup_max_epoch=warmup_max_epoch,
+                           max_epoch=max_epoch,
+                           steps_per_epoch=steps_per_epoch, eta_min=eta_min)
+
+
+def warmup_schedule(*, base_lr: float, multiplier: float,
+                    warmup_max_epoch: int, max_epoch: int,
+                    steps_per_epoch: int, eta_min: float = 1e-7,
+                    name: str = "cosine", power: float = 0.9,
+                    milestones=(), gamma: float = 0.1) -> optax.Schedule:
+    """Reference warmup (GradualWarmupScheduler, scheduler.py:19-134:
+    base_lr -> base_lr*multiplier over warmup_max epochs) into a named
+    after-schedule over the remaining epochs:
+
+    - ``cosine`` (the reference's only after_scheduler): anneal to eta_min;
+    - ``poly``: peak * (1 - t/T)^power, the segmentation-standard decay
+      (TPU-build extra);
+    - ``step``: multiply by ``gamma`` at each epoch in ``milestones``
+      (torch MultiStepLR semantics, epochs counted from training start).
+    """
     peak = base_lr * multiplier
     warm_steps = max(warmup_max_epoch * steps_per_epoch, 1)
     rest = max((max_epoch - warmup_max_epoch) * steps_per_epoch, 1)
+    if name == "cosine":
+        after = optax.cosine_decay_schedule(
+            peak, rest, alpha=eta_min / max(peak, 1e-30))
+    elif name == "poly":
+        after = optax.polynomial_schedule(
+            init_value=peak, end_value=eta_min, power=power,
+            transition_steps=rest)
+    elif name == "step":
+        bounds = {max((int(m) - warmup_max_epoch), 0) * steps_per_epoch:
+                  gamma for m in milestones}
+        after = optax.piecewise_constant_schedule(peak, bounds)
+    else:
+        raise KeyError(f"scheduler '{name}' not in (cosine, poly, step)")
     return optax.join_schedules(
-        [optax.linear_schedule(base_lr, peak, warm_steps),
-         optax.cosine_decay_schedule(peak, rest, alpha=eta_min / max(peak, 1e-30))],
+        [optax.linear_schedule(base_lr, peak, warm_steps), after],
         boundaries=[warm_steps])
 
 
@@ -125,11 +158,15 @@ def create_optimizer(optim_params: Mapping, scheduler_params: Optional[Mapping],
     lr = float(optim_params.get("lr", 1e-7))
     weight_decay = float(optim_params.get("weight_decay", 0.0))
     if scheduler_params:
-        schedule = warmup_cosine_schedule(
+        schedule = warmup_schedule(
             base_lr=lr,
             multiplier=float(scheduler_params.get("multiplier", 300)),
             warmup_max_epoch=int(scheduler_params.get("warmup_max", 10)),
-            max_epoch=max_epoch, steps_per_epoch=steps_per_epoch)
+            max_epoch=max_epoch, steps_per_epoch=steps_per_epoch,
+            name=str(scheduler_params.get("name", "cosine")).lower(),
+            power=float(scheduler_params.get("power", 0.9)),
+            milestones=tuple(scheduler_params.get("milestones", ())),
+            gamma=float(scheduler_params.get("gamma", 0.1)))
     else:
         schedule = optax.constant_schedule(lr)
 

@@ -351,20 +351,42 @@ def build_scanned_eval_step(bundle: ModelBundle, *,
     return scanned
 
 
+def tta_probs(bundle: ModelBundle, params, batch_stats, image,
+              transform: Callable) -> jnp.ndarray:
+    """Test-time augmentation: mean class probability over the 4 axis flips
+    (identity / lr / ud / both), each inverse-flipped back — a TPU-build
+    extra over the reference's single-pass inference (epocher.py:174-204).
+    Flips commute with the channel-wise ``prob_transform``."""
+    def one(img, inv):
+        logits, _ = bundle.apply_eval(params, batch_stats, img)
+        return inv(transform(jax.nn.softmax(logits, axis=-1)))
+
+    p = one(image, lambda t: t)
+    p = p + one(image[:, :, ::-1], lambda t: t[:, :, ::-1])
+    p = p + one(image[:, ::-1], lambda t: t[:, ::-1])
+    p = p + one(image[:, ::-1, ::-1], lambda t: t[:, ::-1, ::-1])
+    return p / 4.0
+
+
 def build_eval_step(bundle: ModelBundle, *,
                     prob_transform: Optional[Callable] = None,
-                    target_num_classes: Optional[int] = None) -> Callable:
+                    target_num_classes: Optional[int] = None,
+                    tta: bool = False) -> Callable:
     """-> jitted ``eval_step(params, batch_stats, image, target, mask) ->
     (loss, pred, inter, union)`` with per-sample masked counts.
     ``prob_transform`` collapses over-segmented prototype probabilities back to
-    true classes (multicore evaluation, ref multicore_epocher.py:72-91)."""
+    true classes (multicore evaluation, ref multicore_epocher.py:72-91).
+    ``tta``: average probabilities over the 4 axis flips (:func:`tta_probs`)."""
     num_classes = target_num_classes or bundle.num_classes
     transform = prob_transform or (lambda p: p)
 
     @jax.jit
     def eval_step(params, batch_stats, image, target, mask):
-        logits, _ = bundle.apply_eval(params, batch_stats, image)
-        probs = transform(jax.nn.softmax(logits, axis=-1))
+        if tta:
+            probs = tta_probs(bundle, params, batch_stats, image, transform)
+        else:
+            logits, _ = bundle.apply_eval(params, batch_stats, image)
+            probs = transform(jax.nn.softmax(logits, axis=-1))
         onehot = jax.nn.one_hot(target, num_classes)
         per_px = kl_div(probs, onehot, reduction="none")   # [B, H, W]
         m = mask.astype(jnp.float32)

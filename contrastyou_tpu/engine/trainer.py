@@ -130,7 +130,11 @@ class Trainer:
                 f"{len(sk_p) + len(sk_s)} shape-mismatched skipped")
         if getattr(self, "_warm_start_params", None) is not None:
             self._bundle.params = self._warm_start_params
-        hooks = self._hooks if self.activate_hooks else []
+        # activate_hooks=False (ft/adv) drops regularizer hooks, but
+        # loss-free state trackers (EMAEvalTrainerHook) stay active
+        hooks = (self._hooks if self.activate_hooks else
+                 [h for h in self._hooks
+                  if getattr(h, "always_active", False)])
         self._optimizer, self._schedule = create_optimizer(
             self._config.get("Optim", {}), self._config.get("Scheduler", {}),
             max_epoch=self._max_epoch, steps_per_epoch=self._num_batches,

@@ -16,8 +16,8 @@ from .entmin import EntropyMinTrainerHook
 from .infonce import INFONCEHook, SelfPacedINFONCEHook, SuperPixelInfoNCEHook
 from .midl import IIDSegmentationTrainerHook, IMSATTrainHook
 from .mixup import MixUpTrainHook
-from .mt import (ICTMeanTeacherTrainerHook, MeanTeacherTrainerHook,
-                 UAMeanTeacherTrainerHook)
+from .mt import (EMAEvalTrainerHook, ICTMeanTeacherTrainerHook,
+                 MeanTeacherTrainerHook, UAMeanTeacherTrainerHook)
 from .orthogonal import OrthogonalTrainerHook
 from .pseudolabel import PseudoLabelTrainerHook
 
@@ -180,6 +180,14 @@ def create_hook_from_config(config: t.Mapping, *, is_pretrain: bool = False,
             weights=config["InfonceSuperPixelParams"]["weights"],
             spatial_size=config["InfonceSuperPixelParams"]["spatial_size"],
             feature_names=config["InfonceSuperPixelParams"]["feature_names"])
+
+    if "EvalEMAParameters" in config:
+        # TPU-build extra: loss-free EMA of the student evaluated instead of
+        # the student (works under ft via always_active; see hooks/mt.py)
+        ema_hook = EMAEvalTrainerHook(**dict(config["EvalEMAParameters"]))
+        hooks.append(ema_hook)
+        if mt_hook is None and trainer is not None:
+            trainer.set_model4inference(ema_hook)
 
     if mt_hook is not None and trainer is not None:
         trainer.set_model4inference(mt_hook)

@@ -103,6 +103,55 @@ class MeanTeacherTrainerHook(TrainerHook):
         return state["teacher_batch_stats"]
 
 
+class EMAEvalTrainerHook(TrainerHook):
+    """Loss-free EMA of the STUDENT used only for evaluation/inference
+    (config key ``EvalEMAParameters``) — a TPU-build extra on top of the
+    reference's eval-on-teacher machinery (trainer.py:139-149): the same
+    ``set_model4inference`` plumbing, but the tracked model costs nothing
+    in the train step (no teacher forward, no consistency term).
+
+    ``always_active``: runs even under trainers that deactivate regularizer
+    hooks (FineTuneTrainer, ref trainer.py:199-204 activate_hooks=False) —
+    the point is an EMA'd eval model for ft."""
+
+    requires_unlabeled = False
+    always_active = True
+
+    def __init__(self, *, name: str = "ema_eval", alpha: float = 0.999,
+                 weight_decay: float = 0.0, update_bn: bool = True,
+                 justify_alpha: bool = True):
+        super().__init__(hook_name=name, weight=0.0)
+        self._alpha = float(alpha)
+        self._weight_decay = float(weight_decay)
+        self._update_bn = bool(update_bn)
+        self._justify_alpha = bool(justify_alpha)
+
+    def init(self, rng, bundle: ModelBundle) -> Tuple[Any, Any]:
+        return None, {"ema_params": jax.tree.map(jnp.array, bundle.params),
+                      "ema_batch_stats": jax.tree.map(jnp.array,
+                                                      bundle.batch_stats),
+                      "ema_step": jnp.int32(0)}
+
+    def post_step(self, ctx: StepContext, new_model_params, state):
+        step = state["ema_step"]
+        alpha = (jnp.minimum(1.0 - 1.0 / (step + 1.0), self._alpha)
+                 if self._justify_alpha else jnp.float32(self._alpha))
+        new_state = dict(state, ema_step=step + 1,
+                         ema_params=ema_update(state["ema_params"],
+                                               new_model_params, alpha,
+                                               self._weight_decay))
+        if self._update_bn:
+            new_state["ema_batch_stats"] = ema_update(
+                state["ema_batch_stats"], ctx.batch_stats, alpha, 0.0)
+        return new_state
+
+    def eval_params(self, state):
+        return state["ema_params"]
+
+    def eval_batch_stats(self, state):
+        return (state["ema_batch_stats"] if self._update_bn else None)
+
+
 class UAMeanTeacherTrainerHook(MeanTeacherTrainerHook):
     """Uncertainty-aware MT (ref mt.py:209-276): teacher target averaged over
     one clean + N noisy passes; per-pixel loss masked where teacher entropy

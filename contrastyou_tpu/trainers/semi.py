@@ -20,11 +20,17 @@ class SemiTrainer(Trainer):
     activate_hooks = True
 
     def inference(self, scan_loader=None, checkpoint: str | None = None,
-                  save_predictions: bool = False) -> dict:
+                  save_predictions: bool = False,
+                  tta: bool | None = None) -> dict:
         """Scan-batched inference: 3D dice + average surface distance
         (ref: trainer.py:71-122, epochers/epocher.py:174-204); optional
-        per-slice PNG prediction dumps (ref InferenceSaver)."""
+        per-slice PNG prediction dumps (ref InferenceSaver).
+
+        ``tta`` (or config ``Inference.tta``): average probabilities over
+        the 4 axis flips (engine/steps.py tta_probs — TPU-build extra)."""
         assert self._initialized
+        if tta is None:
+            tta = bool(self._config.get("Inference", {}).get("tta", False))
         if checkpoint is not None:
             self.resume_from_path(checkpoint)
         loader = scan_loader if scan_loader is not None else self._test_loader
@@ -40,9 +46,15 @@ class SemiTrainer(Trainer):
         asd = meters.register_meter("asd", SurfaceMeter(
             num_classes, report_axis=range(1, num_classes), metername="asd"))
         params, batch_stats = self._inference_state()
+        eval_step = self._eval_step
+        if tta:
+            from ..engine.steps import build_eval_step
+            eval_step = build_eval_step(
+                self._bundle, prob_transform=self._prob_transform,
+                target_num_classes=self._target_num_classes, tta=True)
         with meters:
             for batch in loader:
-                loss, pred, inter, union = self._eval_step(
+                loss, pred, inter, union = eval_step(
                     params, batch_stats, jnp.asarray(batch["image"]),
                     jnp.asarray(batch["target"]), jnp.asarray(batch["mask"]))
                 meters.add("loss", loss)
