@@ -37,14 +37,19 @@ class ModelBundle:
     # --- functional applies (params passed explicitly; jit-safe) -------
     def apply_train(self, params, batch_stats, x, *, until=None, taps=(),
                     update_stats: bool = True, bn_groups=None,
-                    bn_update=None):
+                    bn_update=None, fwd_only: bool = False):
         """-> ((out, taps_dict), new_batch_stats). ``bn_groups``/``bn_update``
         request per-group BN statistics (fused two-stage; models advertise
-        support via ``supports_bn_groups``)."""
+        support via ``supports_bn_groups``). ``fwd_only``: hint that this
+        pass is never differentiated (teacher forwards under stop_gradient)
+        — forwarded to models advertising ``supports_fwd_only`` so
+        forward-only kernel layouts can engage."""
         kw = {}
         if bn_groups is not None:
             kw = dict(bn_groups=tuple(bn_groups),
                       bn_update=tuple(bn_update) if bn_update else None)
+        if fwd_only and getattr(self.model, "supports_fwd_only", False):
+            kw["fwd_only"] = True
         out, mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats}, x, until=until,
             taps=taps, train=True, mutable=["batch_stats"], **kw)

@@ -472,6 +472,18 @@ class Trainer:
                 images = jnp.asarray(np.stack([b["image"] for b in chunk]))
                 targets = jnp.asarray(np.stack([b["target"] for b in chunk]))
                 masks = jnp.asarray(np.stack([b["mask"] for b in chunk]))
+                if (self._mesh is not None
+                        and images.shape[1] % self._mesh.size == 0):
+                    # mesh-native eval: shard the per-batch axis (dim 1 of
+                    # the [K, B, ...] chunk) over data like the train path;
+                    # dice counts come back per-sample and gather on host
+                    from ..parallel import shard_batch
+                    sharded = shard_batch(
+                        {"image": images, "target": targets, "mask": masks},
+                        self._mesh, batch_dim=1)
+                    images, targets, masks = (sharded["image"],
+                                              sharded["target"],
+                                              sharded["mask"])
                 loss, inter, union = self._get_scanned_eval_step()(
                     params, batch_stats, images, targets, masks)
                 for i in range(n_real):

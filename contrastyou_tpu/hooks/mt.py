@@ -61,7 +61,13 @@ class MeanTeacherTrainerHook(TrainerHook):
         if self._update_bn:
             logits, _ = ctx.bundle.apply_eval(t_params, t_stats, image)
             return logits, t_stats
-        (logits, _), new_stats = ctx.bundle.apply_train(t_params, t_stats, image)
+        # NOTE round 3: fwd_only=True here (parity chain for the
+        # stop-gradient teacher pass) MEASURED WORSE in the full mt step
+        # (32.74 vs 31.70 ms/step on-chip, chained timing) — the raw
+        # forward win does not survive in-step scheduling; keep the
+        # interleaved plane path.
+        (logits, _), new_stats = ctx.bundle.apply_train(t_params, t_stats,
+                                                        image)
         return logits, new_stats
 
     def _teacher_target(self, ctx: StepContext, state):
@@ -171,6 +177,8 @@ class UAMeanTeacherTrainerHook(MeanTeacherTrainerHook):
 
     def loss(self, ctx: StepContext, params, state):
         image = ctx.unlabeled_image
+        B = image.shape[0]
+        N = self._num_noise
         C = ctx.unlabeled_tf_logits.shape[-1]
         # clean pass updates the teacher's own stats...
         clean_logits, new_stats = self._teacher_forward(ctx, state, image)
@@ -179,15 +187,24 @@ class UAMeanTeacherTrainerHook(MeanTeacherTrainerHook):
         t_params = jax.lax.stop_gradient(state["teacher_params"])
         t_stats = jax.lax.stop_gradient(state["teacher_batch_stats"])
 
-        def noisy_pass(key):
-            noisy = image + self._noise_std * jax.random.normal(
-                key, image.shape, image.dtype)
-            (logits, _), _ = ctx.bundle.apply_train(t_params, t_stats, noisy,
-                                                    update_stats=False)
-            return logits
-
-        keys = jax.random.split(ctx.rng, self._num_noise)
-        noisy_logits = jax.vmap(noisy_pass)(keys)          # [N, B, H, W, C]
+        # The N noisy passes run as ONE forward over the stacked [N*B]
+        # batch with PER-PASS batch statistics (bn_groups=(B,)*N) — exactly
+        # N independent forwards, but without jax.vmap over the model:
+        # the Pallas plane stage is mesh-safe via custom_partitioning,
+        # which has no vmap batching rule (round-3 fix: the vmapped form
+        # raised NotImplementedError on TPU).
+        noise = jax.random.normal(ctx.rng, (N, *image.shape), image.dtype)
+        noisy_flat = (image[None] + self._noise_std * noise).reshape(
+            N * B, *image.shape[1:])
+        if getattr(getattr(ctx.bundle, "model", None),
+                   "supports_bn_groups", False):
+            (logits_flat, _), _ = ctx.bundle.apply_train(
+                t_params, t_stats, noisy_flat, update_stats=False,
+                bn_groups=(B,) * N)
+        else:
+            (logits_flat, _), _ = ctx.bundle.apply_train(
+                t_params, t_stats, noisy_flat, update_stats=False)
+        noisy_logits = logits_flat.reshape(N, *clean_logits.shape)
         mean_logits = (clean_logits + noisy_logits.sum(0)) / (self._num_noise + 1)
         prob_tf = jax.nn.softmax(ctx.affine_transformer(mean_logits), axis=-1)
         entropy_tf = -(prob_tf * jnp.log(prob_tf + 1e-16)).sum(-1)

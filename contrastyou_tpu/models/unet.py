@@ -601,10 +601,15 @@ class UNet(nn.Module):
     #: with per-group BN statistics (see _bn_relu_groups)
     supports_bn_groups = True
 
+    #: __call__ accepts the fwd_only hint (teacher passes: train-mode BN but
+    #: never differentiated -> parity chain defaults on)
+    supports_fwd_only = True
+
     def __call__(self, x: jnp.ndarray, *, until: Optional[str] = None,
                  taps: Sequence[str] = (), train: bool = True,
                  bn_groups: Optional[Tuple[int, ...]] = None,
-                 bn_update: Optional[Tuple[bool, ...]] = None
+                 bn_update: Optional[Tuple[bool, ...]] = None,
+                 fwd_only: bool = False
                  ) -> Tuple[jnp.ndarray, dict]:
         """Forward over NHWC input. ``until``/``taps`` are static layer names.
 
@@ -687,14 +692,15 @@ class UNet(nn.Module):
         from ..ops.pallas.convblock import (parity_pool,
                                             parity_split_to_planes,
                                             use_parity_chain)
-        # forward-only applications (train=False is never differentiated)
-        # default INTO the parity chain — it wins forward-only (-8%) and
-        # only loses when the backward pays the quarter-geometry padding
+        # forward-only applications (train=False, or an explicit fwd_only
+        # hint for train-mode teacher passes under stop_gradient) default
+        # INTO the parity chain — it wins forward-only (-8%) and only
+        # loses when the backward pays the quarter-geometry padding
         par = (chain_ok and bn
                and "Conv1" not in taps and until != "Conv1"
                and "Up_conv2" not in taps and until != "Up_conv2"
                and use_parity_chain(Cin, c1, cu2, (H, W), self.dtype,
-                                    fwd_only=not train))
+                                    fwd_only=fwd_only or not train))
         gq = (stage_geometry(H2, W2, cu2, cu2, c1, self.dtype)
               if par else None)
         if par and r2 and stage_geometry(H2, W2, c1, c2, 0,

@@ -1146,6 +1146,65 @@ def _parity_taps(k3: jnp.ndarray, a: int, b: int, rs: int):
     return jnp.stack(taps, 0), tuple(offs)
 
 
+def _upvjp_enabled() -> bool:
+    """Custom backward for the upconv interleave (CONTRASTYOU_PLANE_UPVJP,
+    default 1): the AD transpose of the two-phase zip fragments into ~95
+    small re-tiling ops (~2.4 ms/step in the round-3 post-crop trace); the
+    hand-written backward uses stride-2 sublane/lane slices instead (the
+    same trick as the strided plane_maxpool rewrite). Bit-identical (pure
+    permutation either way)."""
+    import os
+    return os.environ.get("CONTRASTYOU_PLANE_UPVJP", "1") != "0"
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def upconv_interleave(o00: jnp.ndarray, o01: jnp.ndarray, o10: jnp.ndarray,
+                      o11: jnp.ndarray, H: int, W: int,
+                      geo_in: PlaneGeo, geo_out: PlaneGeo) -> jnp.ndarray:
+    """Four parity-class conv output planes [B, C, Lbuf_in] at (H, W) ->
+    interleaved (2H, 2W) guarded planes [B, C, Lbuf_out] (the upconv_plane
+    ILV2 glue: interior extraction + row/column parity zips + guard pads),
+    with a hand-written transpose (:func:`_upvjp_enabled`)."""
+    B, C, _ = o00.shape
+    quads = [[_plane_interior(o00, H, W, geo_in),
+              _plane_interior(o01, H, W, geo_in)],
+             [_plane_interior(o10, H, W, geo_in),
+              _plane_interior(o11, H, W, geo_in)]]
+    za = [jnp.stack((r0, r1), axis=-1).reshape(B, C, H, 2 * W)
+          for r0, r1 in quads]
+    q = jnp.stack(za, axis=-2).reshape(B, C, 2 * H, 2 * W)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (1, 1), (1, geo_out.rs - 2 * W - 1)))
+    qp = qp.reshape(B, C, geo_out.P)
+    return jnp.pad(qp, ((0, 0), (0, 0),
+                        (geo_out.mb, geo_out.lbuf - geo_out.P - geo_out.mb)))
+
+
+def _upconv_ilv_fwd(o00, o01, o10, o11, H, W, geo_in, geo_out):
+    return upconv_interleave(o00, o01, o10, o11, H, W, geo_in, geo_out), None
+
+
+def _upconv_ilv_bwd(H, W, geo_in, geo_out, _, g):
+    B, C, _ = g.shape
+    core = g[:, :, geo_out.mb:geo_out.mb + geo_out.P]
+    core = core.reshape(B, C, 2 * H + 2, geo_out.rs)[:, :, 1:2 * H + 1,
+                                                     1:2 * W + 1]
+    gz0 = core[:, :, 0::2]                       # row parity (sublane)
+    gz1 = core[:, :, 1::2]
+
+    def back(gi):                                # transpose of interior
+        v = jnp.pad(gi, ((0, 0), (0, 0), (1, 1),
+                         (1, geo_in.rs - W - 1)))
+        v = v.reshape(B, C, geo_in.P)
+        return jnp.pad(v, ((0, 0), (0, 0),
+                           (geo_in.mb, geo_in.lbuf - geo_in.P - geo_in.mb)))
+
+    return (back(gz0[:, :, :, 0::2]), back(gz0[:, :, :, 1::2]),
+            back(gz1[:, :, :, 0::2]), back(gz1[:, :, :, 1::2]))
+
+
+upconv_interleave.defvjp(_upconv_ilv_fwd, _upconv_ilv_bwd)
+
+
 def upconv_plane(xp: jnp.ndarray, k3: jnp.ndarray, H: int, W: int,
                  geo_in: PlaneGeo, geo_out: PlaneGeo):
     """``conv3x3_SAME(upsample2x_nearest(x))`` entirely in plane layout:
@@ -1166,21 +1225,28 @@ def upconv_plane(xp: jnp.ndarray, k3: jnp.ndarray, H: int, W: int,
     B, cin, _ = xp.shape
     cout = k3.shape[-1]
     mask_in = border_mask(H, W, geo_in)
-    quads, ssum, ssq = [], 0.0, 0.0
+    raw, ssum, ssq = [], 0.0, 0.0
     for a in (0, 1):
-        row = []
         for b in (0, 1):
             taps, offs = _parity_taps(k3, a, b, geo_in.rs)
             o, s, sq = plane_conv_taps_stats(xp, taps, mask_in, H, W,
                                              geo_in, offs)
             ssum, ssq = ssum + s, ssq + sq
-            row.append(_plane_interior(o, H, W, geo_in))
-        quads.append(row)
-    if os.environ.get("CONTRASTYOU_PLANE_ILV2", "1") != "0":
-        # two-phase interleave (DEFAULT — on-chip A/B: 17.41 -> 16.12 ms
-        # whole-model fwd+bwd): one lane zip per row parity (the only
-        # genuinely re-tiling copy), then a near-free sublane row zip —
-        # instead of one 6-D transpose with awkward minor dims.
+            raw.append(o)
+    ilv2 = os.environ.get("CONTRASTYOU_PLANE_ILV2", "1") != "0"
+    if ilv2 and _upvjp_enabled():
+        # custom-transpose form (stride-2 slice backward)
+        out = upconv_interleave(raw[0], raw[1], raw[2], raw[3],
+                                H, W, geo_in, geo_out)
+        return out, ssum, ssq
+    quads = [[_plane_interior(raw[0], H, W, geo_in),
+              _plane_interior(raw[1], H, W, geo_in)],
+             [_plane_interior(raw[2], H, W, geo_in),
+              _plane_interior(raw[3], H, W, geo_in)]]
+    if ilv2:
+        # two-phase interleave (on-chip A/B: 17.41 -> 16.12 ms whole-model
+        # fwd+bwd vs the 6-D transpose): one lane zip per row parity (the
+        # only genuinely re-tiling copy), then a near-free sublane row zip.
         za = [jnp.stack((r0, r1), axis=-1).reshape(B, cout, H, 2 * W)
               for r0, r1 in quads]
         q = jnp.stack(za, axis=-2).reshape(B, cout, 2 * H, 2 * W)

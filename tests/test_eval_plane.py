@@ -114,6 +114,54 @@ def test_eval_under_mesh_matches_unsharded(monkeypatch, x32):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_fwd_only_hint_matches_train_forward(monkeypatch, x32):
+    """fwd_only=True (teacher passes: train-mode BN, never differentiated)
+    routes the parity chain but must reproduce the train forward AND its
+    batch-stat updates exactly."""
+    model = _mk()
+    v = _vars_with_live_stats(model, x32)
+    monkeypatch.setenv("CONTRASTYOU_PALLAS_CONV", "1")
+    monkeypatch.delenv("CONTRASTYOU_PLANE_PARITY", raising=False)
+    (y0, _), mut0 = model.apply(v, x32, train=True, mutable=["batch_stats"])
+    (y1, _), mut1 = model.apply(v, x32, train=True, fwd_only=True,
+                                mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree.leaves(mut0), jax.tree.leaves(mut1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_scanned_eval_sharded_matches_unsharded(monkeypatch):
+    """mesh-native eval (trainer.eval_epoch shards the [K, B, ...] chunk's
+    batch axis): sharded scanned-eval counts == unsharded, through the
+    Pallas eval routing."""
+    from contrastyou_tpu.engine.bundle import ModelBundle
+    from contrastyou_tpu.engine.steps import build_scanned_eval_step
+    from contrastyou_tpu.parallel import make_mesh, shard_batch
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    monkeypatch.setenv("CONTRASTYOU_PALLAS_CONV", "1")
+    model = _mk()
+    bundle = ModelBundle.create(model, jax.random.PRNGKey(0), (32, 32, 1))
+    ev = build_scanned_eval_step(bundle)
+    rng = np.random.default_rng(3)
+    K, B = 2, 4
+    imgs = jnp.asarray(rng.standard_normal((K, B, 32, 32, 1)), jnp.float32)
+    tgts = jnp.asarray(rng.integers(0, 4, (K, B, 32, 32)), jnp.int32)
+    msks = jnp.ones((K, B), bool)
+    l0, i0, u0 = ev(bundle.params, bundle.batch_stats, imgs, tgts, msks)
+    mesh = make_mesh(2)
+    sh = shard_batch({"i": imgs, "t": tgts, "m": msks}, mesh, batch_dim=1)
+    with mesh:
+        l1, i1, u1 = ev(bundle.params, bundle.batch_stats,
+                        sh["i"], sh["t"], sh["m"])
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u0))
+
+
 def test_teacher_eval_apply_matches(monkeypatch, x32):
     """ModelBundle.apply_eval (the MT teacher-eval / eval-step entry) picks
     up the kernel routing transparently."""

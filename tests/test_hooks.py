@@ -148,3 +148,24 @@ def test_self_paced_metrics(stepped):
 def test_uamt_mask_metric(stepped):
     _, _, _, metrics, _ = stepped
     assert 0.0 <= float(metrics["uamt/mask"]) <= 1.0
+
+
+def test_uamt_runs_through_pallas_stage(monkeypatch):
+    """Round-3 regression: the UAMT noisy teacher passes must NOT vmap the
+    model — the Pallas plane stage is mesh-safe via custom_partitioning,
+    which has no vmap batching rule (the vmapped form raised
+    NotImplementedError on TPU). The N passes now run as one stacked
+    forward with per-pass batch statistics (bn_groups=(B,)*N)."""
+    monkeypatch.setenv("CONTRASTYOU_PALLAS_CONV", "1")
+    bundle = _bundle()
+    hooks = [UAMeanTeacherTrainerHook(name="uamt", weight=1.0, num_noise=2,
+                                      max_epoch=2)]
+    optimizer, _ = create_optimizer({"name": "adam", "lr": 1e-3}, None,
+                                    max_epoch=2, steps_per_epoch=2)
+    state = init_train_state(bundle, hooks, optimizer, jax.random.PRNGKey(1))
+    step = build_train_step(bundle, optimizer, hooks, two_stage=True,
+                            mode="semi")
+    state, metrics = step(state, _batch(), jax.random.PRNGKey(2),
+                          jnp.int32(0))
+    assert np.isfinite(float(metrics["uamt/loss"]))
+    assert np.isfinite(float(metrics["total_loss"]))

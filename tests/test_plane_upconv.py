@@ -126,3 +126,38 @@ def test_unet_upconv_knob_off_matches(monkeypatch):
     for a, b in zip(jax.tree.leaves(mut1), jax.tree.leaves(mut0)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("upvjp", ["0", "1"])
+def test_upconv_interleave_custom_vjp_bit_identical(upvjp, monkeypatch):
+    """The hand-written interleave transpose (CONTRASTYOU_PLANE_UPVJP,
+    round 3) is a pure permutation — outputs AND input/kernel gradients
+    must be BIT-identical to the AD transpose it replaces."""
+    rng = np.random.default_rng(4)
+    B, H, W, cin, cout = 2, 6, 10, 8, 16
+    x = jnp.asarray(rng.standard_normal((B, H, W, cin)), jnp.float32)
+    k3 = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1,
+                     jnp.float32)
+    g_seed = jnp.asarray(rng.standard_normal((B, 2 * H, 2 * W, cout)),
+                         jnp.float32)
+    geo_in = _geo(H, W, max(cin, cout))
+    geo_out = _geo(2 * H, 2 * W, cout)
+    monkeypatch.setenv("CONTRASTYOU_PLANE_ILV2", "1")
+
+    def run():
+        def f(xx, kk):
+            xp = cb.to_planes(xx, jnp.float32, geo_in)
+            out_p, ssum, ssq = cb.upconv_plane(xp, kk, H, W, geo_in, geo_out)
+            out = cb.from_planes(out_p, 2 * H, 2 * W, geo_out)
+            return (out * g_seed).sum() + ssum.sum() * 0.1 + ssq.sum() * 0.01
+
+        val, (dx, dk) = jax.value_and_grad(f, argnums=(0, 1))(x, k3)
+        return np.asarray(val), np.asarray(dx), np.asarray(dk)
+
+    monkeypatch.setenv("CONTRASTYOU_PLANE_UPVJP", "0")
+    v0, dx0, dk0 = run()
+    monkeypatch.setenv("CONTRASTYOU_PLANE_UPVJP", "1")
+    v1, dx1, dk1 = run()
+    np.testing.assert_array_equal(v1, v0)
+    np.testing.assert_array_equal(dx1, dx0)
+    np.testing.assert_array_equal(dk1, dk0)

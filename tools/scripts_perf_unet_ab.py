@@ -57,7 +57,12 @@ def build(mode: str):
     # parity-domain widest-level chain (round 3); "plane-noparity"
     # re-measures the interleaved plane chain
     os.environ["CONTRASTYOU_PLANE_PARITY"] = (
-        "0" if mode in ("plane-noparity", "plane-nochain") else "1")
+        "0" if mode.startswith("plane-noparity") or mode == "plane-nochain"
+        else "1")
+    # custom upconv-interleave transpose (round 3); "...-noupvjp"
+    # re-measures the AD transpose of the two-phase zip
+    os.environ["CONTRASTYOU_PLANE_UPVJP"] = (
+        "0" if mode.endswith("noupvjp") else "1")
     model = UNet(input_dim=1, num_classes=4, max_channel=512)
     x0 = jnp.asarray(np.random.default_rng(0).standard_normal((B, H, H, 1)),
                      jnp.bfloat16)
