@@ -90,6 +90,18 @@ class DiscreteMITrainHook(TrainerHook):
             from ..ops.pallas.iic import fused_dense_iic_raw_joints
             feat = ctx.unlabeled_taps[self._feature_name]
             feat_tf = ctx.unlabeled_tf_taps[self._feature_name]
+            # taps are f32 UPCASTS of the model's bf16 activations — the
+            # affine alignment + chunked kernel input can ride bf16
+            # losslessly (nearest warp = exact selection; the kernel
+            # upcasts to f32 in VMEM), halving the HBM traffic of the
+            # warp/chunk glue (round-3: ~38 ms/step of where/roll in the
+            # udaiic trace was the f32 feature warp)
+            import os
+            mdt = getattr(getattr(ctx.bundle, "model", None), "dtype", None)
+            if (mdt == jnp.bfloat16 and feat.dtype == jnp.float32
+                    and os.environ.get("CONTRASTYOU_IIC_BF16", "1") != "0"):
+                feat = feat.astype(mdt)
+                feat_tf = feat_tf.astype(mdt)
             conv = params["Vmap_DenseSubHead_0"]["Conv_0"]
             S = self._projector.num_subheads
             K = self._projector.num_clusters

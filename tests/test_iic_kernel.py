@@ -140,3 +140,22 @@ def test_hook_kernel_path_matches_merged(monkeypatch):
     monkeypatch.setenv("CONTRASTYOU_IIC_MERGED", "1")
     lm, _, _ = hook.loss(ctx, params, st)
     np.testing.assert_allclose(float(lk), float(lm), rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_features_match_f32(monkeypatch):
+    """The hook's bf16 feature cast (round 3: taps are exact upcasts of
+    bf16 activations, so the warp/chunk glue rides bf16 losslessly) —
+    kernel joints from bf16 inputs must match the f32 run when the inputs
+    are exactly bf16-representable."""
+    f1, f2, w, b = _setup()
+    f1 = f1.astype(jnp.bfloat16).astype(jnp.float32)   # snap to bf16 grid
+    f2 = f2.astype(jnp.bfloat16).astype(jnp.float32)
+    monkeypatch.setenv("CONTRASTYOU_IIC_MERGED", "kernel")
+    raw32 = fused_dense_iic_raw_joints(w, b, f1, f2, num_subheads=S,
+                                       num_clusters=K, padding=1)
+    raw16 = fused_dense_iic_raw_joints(w, b, f1.astype(jnp.bfloat16),
+                                       f2.astype(jnp.bfloat16),
+                                       num_subheads=S, num_clusters=K,
+                                       padding=1)
+    np.testing.assert_allclose(np.asarray(raw16), np.asarray(raw32),
+                               rtol=1e-5, atol=1e-5)

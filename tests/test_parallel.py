@@ -316,8 +316,13 @@ def test_hook_zoo_sharded_matches_single_device(kind):
     # every dense component bit-exact under sharding; batch-permutation noise
     # floor 1e-6; the sharded diff rides a fixed Jacobian direction) — the
     # bounds are necessarily looser for those two.
+    # uamt: the N noisy passes run as one stacked [N*B] forward with
+    # per-pass batch statistics (the round-3 no-model-vmap fix) — the
+    # group-stat slice-sums reassociate differently under sharding and the
+    # entropy-threshold HARD mask amplifies that floor slightly (observed
+    # 8e-5 max param diff after one step).
     atol = {"dmt": 3e-3, "dmt_second_order": 3e-3,
-            "nce_dense": 2e-3}.get(kind, 5e-5)
+            "nce_dense": 2e-3, "uamt": 3e-4}.get(kind, 5e-5)
     a = np.asarray(jax.tree.leaves(state_ref.params)[0])
     b = np.asarray(jax.tree.leaves(state_dp.params)[0])
     np.testing.assert_allclose(a, b, atol=atol)
