@@ -119,10 +119,26 @@ class INFONCEHook(TrainerHook):
     def _projected_pair(self, ctx: StepContext, params):
         feat = ctx.unlabeled_taps[self._feature_name]
         feat_tf = ctx.unlabeled_tf_taps[self._feature_name]
+        # taps are exact f32 upcasts of bf16 activations — the affine
+        # alignment (nearest warp = exact selection) rides bf16 losslessly,
+        # halving the HBM traffic of the wide dense-decoder taps (same
+        # reasoning as the IIC kernel path, CONTRASTYOU_IIC_BF16); the
+        # projector promotes back to f32 (f32 params).
+        import os
+        mdt = getattr(getattr(ctx.bundle, "model", None), "dtype", None)
+        # dense (decoder) hooks only: DenseProjectionHead convs FIRST (f32
+        # promotion) then pools; the encoder ProjectionHead pools the raw
+        # features, which must stay f32 accumulation (and its 14^2 taps
+        # are too small to matter anyway)
+        if (mdt == jnp.bfloat16 and feat.dtype == jnp.float32
+                and not self._is_encoder
+                and os.environ.get("CONTRASTYOU_NCE_BF16", "1") != "0"):
+            feat, feat_tf = feat.astype(mdt), feat_tf.astype(mdt)
         feat_aligned = ctx.affine_transformer(feat)
         both = jnp.concatenate([feat_aligned, feat_tf], axis=0)
         proj = self._projector.apply({"params": params}, both)
         B = feat.shape[0]
+        proj = proj.astype(jnp.float32)
         return proj[:B], proj[B:]
 
     def _pairs_and_labels(self, ctx: StepContext, params):

@@ -169,3 +169,33 @@ def test_uamt_runs_through_pallas_stage(monkeypatch):
                           jnp.int32(0))
     assert np.isfinite(float(metrics["uamt/loss"]))
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_dense_nce_bf16_warp_matches_f32(monkeypatch):
+    """Round-3: dense InfoNCE warps the feature tap in bf16 (lossless —
+    taps are exact upcasts of bf16 activations and the nearest warp is
+    pure selection); the loss must match the f32-warp arm."""
+    model = UNet(input_dim=1, num_classes=4, max_channel=128,
+                 dtype=jnp.bfloat16)
+    bundle = ModelBundle.create(model, jax.random.PRNGKey(0), (H, H, 1))
+    hooks = [INFONCEHook(name="nce_dense", feature_name="Up_conv2",
+                         weight=1.0, contrast_on="self",
+                         spatial_size=(8, 8))]
+    optimizer, _ = create_optimizer({"name": "adam", "lr": 1e-3}, None,
+                                    max_epoch=2, steps_per_epoch=2)
+    batch = _batch()
+
+    def run():
+        state = init_train_state(bundle, hooks, optimizer,
+                                 jax.random.PRNGKey(1))
+        step = build_train_step(bundle, optimizer, hooks, two_stage=True,
+                                mode="semi")
+        _, metrics = step(state, batch, jax.random.PRNGKey(2), jnp.int32(0))
+        return float(metrics["nce_dense/loss"])
+
+    monkeypatch.setenv("CONTRASTYOU_NCE_BF16", "0")
+    l0 = run()
+    monkeypatch.setenv("CONTRASTYOU_NCE_BF16", "1")
+    l1 = run()
+    assert np.isfinite(l0) and np.isfinite(l1)
+    np.testing.assert_allclose(l1, l0, rtol=2e-3)

@@ -159,3 +159,49 @@ def test_bf16_features_match_f32(monkeypatch):
                                        padding=1)
     np.testing.assert_allclose(np.asarray(raw16), np.asarray(raw32),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_hook_bf16_step_matches_f32(monkeypatch):
+    """Full-step equivalence of the bf16 feature path (warp + chunk +
+    kernel) vs the f32 arm on a bf16 model (CONTRASTYOU_IIC_BF16 A/B)."""
+    from contrastyou_tpu.engine import ModelBundle, init_train_state
+    from contrastyou_tpu.engine.optim import create_optimizer
+    from contrastyou_tpu.engine.steps import build_train_step
+    from contrastyou_tpu.hooks import DiscreteMITrainHook
+    from contrastyou_tpu.models import UNet
+    monkeypatch.setenv("CONTRASTYOU_IIC_MERGED", "kernel")
+    B, H = 2, 16
+    model = UNet(input_dim=1, num_classes=4, max_channel=128,
+                 dtype=jnp.bfloat16)
+    bundle = ModelBundle.create(model, jax.random.PRNGKey(0), (H, H, 1))
+    hooks = [DiscreteMITrainHook(name="iic", feature_name="Up_conv2",
+                                 weight=0.1, num_clusters=5, num_subheads=2,
+                                 padding=1)]
+    optimizer, _ = create_optimizer({"name": "adam", "lr": 1e-3}, None,
+                                    max_epoch=2, steps_per_epoch=2)
+    rng = np.random.default_rng(0)
+    batch = {
+        "labeled_image": jnp.asarray(rng.random((B, H, H, 1), np.float32)),
+        "labeled_target": jnp.asarray(rng.integers(0, 4, (B, H, H)),
+                                      jnp.int32),
+        "unlabeled_image": jnp.asarray(rng.random((B, H, H, 1), np.float32)),
+        "unlabeled_partition": jnp.zeros((B,), jnp.int32),
+        "unlabeled_scan_id": jnp.zeros((B,), jnp.int32),
+        "unlabeled_patient": jnp.zeros((B,), jnp.int32),
+        "unlabeled_cycle": jnp.zeros((B,), jnp.int32),
+    }
+
+    def run():
+        state = init_train_state(bundle, hooks, optimizer,
+                                 jax.random.PRNGKey(1))
+        step = build_train_step(bundle, optimizer, hooks, two_stage=True,
+                                mode="semi")
+        _, metrics = step(state, batch, jax.random.PRNGKey(2), jnp.int32(0))
+        return float(metrics["iic/loss"])
+
+    monkeypatch.setenv("CONTRASTYOU_IIC_BF16", "0")
+    l0 = run()
+    monkeypatch.setenv("CONTRASTYOU_IIC_BF16", "1")
+    l1 = run()
+    assert np.isfinite(l0) and np.isfinite(l1)
+    np.testing.assert_allclose(l1, l0, rtol=2e-3, atol=2e-4)
