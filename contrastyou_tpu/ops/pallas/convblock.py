@@ -686,19 +686,69 @@ def bn_affine(stats_sum: jnp.ndarray, stats_sqsum: jnp.ndarray, count: float,
     return aa, bb, mean, var
 
 
+def _bn_vjp_enabled() -> bool:
+    """Custom backward for the plane BN+ReLU apply (CONTRASTYOU_PLANE_BNVJP,
+    default 1): autodiff of ``maximum(x*a+b, 0)`` saves the F32
+    pre-activation of every plane conv as a residual (a [B, C, Lbuf] f32
+    write+read per conv — the (f32, bf16) convert_element_type fusion
+    pairs in the round-3 trace). The hand-written backward rebuilds the
+    ReLU mask from the BF16 output (already live as the stage output) and
+    contracts against the bf16 input (already saved by the conv's own
+    VJP), so no f32 residual exists. Equal up to the measure-zero case of
+    a pre-activation positive but below the smallest bf16 subnormal."""
+    import os
+    return os.environ.get("CONTRASTYOU_PLANE_BNVJP", "1") != "0"
+
+
+def _bn_apply_fwd_math(xp, a, b, mask):
+    if a.ndim == 1:
+        ab, bb = a[None, :, None], b[None, :, None]
+    else:
+        ab, bb = a[:, :, None], b[:, :, None]
+    h = xp.astype(jnp.float32) * ab + bb
+    h = jnp.maximum(h, 0.0)
+    return jnp.where(mask[None] > 0, h, 0.0).astype(xp.dtype)
+
+
+@jax.custom_vjp
+def _bn_relu_planes_vjp(xp, a, b, mask):
+    return _bn_apply_fwd_math(xp, a, b, mask)
+
+
+def _bn_relu_planes_fwd(xp, a, b, mask):
+    out = _bn_apply_fwd_math(xp, a, b, mask)
+    return out, (xp, a, out, mask)
+
+
+def _bn_relu_planes_bwd(res, g):
+    xp, a, out, mask = res
+    gh = jnp.where(out > 0, g.astype(jnp.float32), 0.0)   # ReLU+mask gate
+    ab = a[None, :, None] if a.ndim == 1 else a[:, :, None]
+    gx = (gh * ab).astype(xp.dtype)
+    gax = gh * xp.astype(jnp.float32)
+    if a.ndim == 1:
+        ga = gax.sum((0, 2))
+        gb = gh.sum((0, 2))
+    else:
+        ga = gax.sum(2)
+        gb = gh.sum(2)
+    return (gx, ga.astype(a.dtype), gb.astype(a.dtype),
+            jnp.zeros_like(mask))
+
+
+_bn_relu_planes_vjp.defvjp(_bn_relu_planes_fwd, _bn_relu_planes_bwd)
+
+
 def apply_bn_relu_planes(xp: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
                          mask: jnp.ndarray) -> jnp.ndarray:
     """Final-layer BN+ReLU on planes in plain XLA (the plane layout tiles
     cleanly, so XLA elementwise is already efficient here). ``a``/``b`` are
     [C] (whole-batch stats) or [B, C] (per-group stats broadcast to
-    samples)."""
-    if a.ndim == 1:
-        a, b = a[None, :, None], b[None, :, None]
-    else:
-        a, b = a[:, :, None], b[:, :, None]
-    h = xp.astype(jnp.float32) * a + b
-    h = jnp.maximum(h, 0.0)
-    return jnp.where(mask[None] > 0, h, 0.0).astype(xp.dtype)
+    samples). Backward: :func:`_bn_vjp_enabled`."""
+    if _bn_vjp_enabled():
+        return _bn_relu_planes_vjp(xp, a, b,
+                                   jax.lax.stop_gradient(mask))
+    return _bn_apply_fwd_math(xp, a, b, mask)
 
 
 # --- differentiable pure plane conv (custom VJP) ------------------------

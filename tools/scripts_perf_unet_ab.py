@@ -63,6 +63,10 @@ def build(mode: str):
     # re-measures the AD transpose of the two-phase zip
     os.environ["CONTRASTYOU_PLANE_UPVJP"] = (
         "0" if mode.endswith("noupvjp") else "1")
+    # custom BN+ReLU apply backward (round 3, no f32 residual);
+    # "...-nobnvjp" re-measures the autodiff form
+    os.environ["CONTRASTYOU_PLANE_BNVJP"] = (
+        "0" if mode.endswith("nobnvjp") else "1")
     model = UNet(input_dim=1, num_classes=4, max_channel=512)
     x0 = jnp.asarray(np.random.default_rng(0).standard_normal((B, H, H, 1)),
                      jnp.bfloat16)
