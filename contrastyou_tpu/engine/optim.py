@@ -61,8 +61,15 @@ def warmup_schedule(*, base_lr: float, multiplier: float,
             init_value=peak, end_value=eta_min, power=power,
             transition_steps=rest)
     elif name == "step":
-        bounds = {max((int(m) - warmup_max_epoch), 0) * steps_per_epoch:
-                  gamma for m in milestones}
+        # Milestones are epochs from training start (torch MultiStepLR).
+        # Accumulate gammas per boundary so milestones that clamp to the
+        # same post-warmup step (e.g. several at/before warmup_max_epoch)
+        # each still contribute one decay instead of dict-collapsing; a
+        # clamped boundary of 0 fires at the warmup join as intended.
+        bounds: dict = {}
+        for m in milestones:
+            k = max((int(m) - warmup_max_epoch), 0) * steps_per_epoch
+            bounds[k] = bounds.get(k, 1.0) * gamma
         after = optax.piecewise_constant_schedule(peak, bounds)
     else:
         raise KeyError(f"scheduler '{name}' not in (cosine, poly, step)")

@@ -439,6 +439,13 @@ class Trainer:
     #: serves every epoch
     EVAL_CHUNK = 32
 
+    def _data_axis_size(self) -> int:
+        """Size of the data-parallel mesh axis (shard_batch shards only over
+        DATA_AXIS, so eval divisibility must check that axis, not mesh.size —
+        they differ on any future multi-axis mesh)."""
+        from ..parallel import DATA_AXIS
+        return int(self._mesh.shape.get(DATA_AXIS, 1))
+
     def _get_scanned_eval_step(self):
         # built lazily (NOT in _build_steps): trainer subclasses override
         # _build_steps and would otherwise each need to remember this
@@ -473,7 +480,7 @@ class Trainer:
                 targets = jnp.asarray(np.stack([b["target"] for b in chunk]))
                 masks = jnp.asarray(np.stack([b["mask"] for b in chunk]))
                 if (self._mesh is not None
-                        and images.shape[1] % self._mesh.size == 0):
+                        and images.shape[1] % self._data_axis_size() == 0):
                     # mesh-native eval: shard the per-batch axis (dim 1 of
                     # the [K, B, ...] chunk) over data like the train path;
                     # dice counts come back per-sample and gather on host

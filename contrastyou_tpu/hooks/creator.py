@@ -116,7 +116,13 @@ def create_hook_from_config(config: t.Mapping, *, is_pretrain: bool = False,
     if "MeanTeacherParameters" in config:
         not_pretrain("MeanTeacherParameters")
         params = dict(config["MeanTeacherParameters"])
-        params.pop("num_teachers", None)
+        # ref semi_seg/hooks/mt.py:94-95 validates num_teachers and errors
+        # for >1 — match that instead of silently dropping the key
+        num_teachers = int(params.pop("num_teachers", 1))
+        if num_teachers > 1:
+            raise NotImplementedError(
+                f"num_teachers={num_teachers}: only one mean teacher is "
+                "supported (matches the reference's validation)")
         mt_hook = MeanTeacherTrainerHook(name="mt", **params)
         hooks.append(mt_hook)
     if "UAMeanTeacherParameters" in config:
@@ -181,15 +187,26 @@ def create_hook_from_config(config: t.Mapping, *, is_pretrain: bool = False,
             spatial_size=config["InfonceSuperPixelParams"]["spatial_size"],
             feature_names=config["InfonceSuperPixelParams"]["feature_names"])
 
+    ema_hook = None
     if "EvalEMAParameters" in config:
         # TPU-build extra: loss-free EMA of the student evaluated instead of
         # the student (works under ft via always_active; see hooks/mt.py)
         ema_hook = EMAEvalTrainerHook(**dict(config["EvalEMAParameters"]))
         hooks.append(ema_hook)
-        if mt_hook is None and trainer is not None:
-            trainer.set_model4inference(ema_hook)
 
-    if mt_hook is not None and trainer is not None:
-        trainer.set_model4inference(mt_hook)
+    # Eval-model precedence: an EXPLICIT EvalEMAParameters request wins over
+    # the MT teacher (previously the MT hook silently overwrote it while the
+    # EMA hook kept paying its per-step update — ADVICE r3).
+    if trainer is not None:
+        if ema_hook is not None:
+            trainer.set_model4inference(ema_hook)
+            if mt_hook is not None:
+                logger.info("eval model: EvalEMAParameters EMA "
+                            "(takes precedence over the MT teacher)")
+            else:
+                logger.info("eval model: EvalEMAParameters EMA")
+        elif mt_hook is not None:
+            trainer.set_model4inference(mt_hook)
+            logger.info("eval model: mean-teacher")
     logger.info(f"created hooks: {[h.name for h in hooks]}")
     return hooks

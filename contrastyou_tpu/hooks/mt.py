@@ -202,8 +202,17 @@ class UAMeanTeacherTrainerHook(MeanTeacherTrainerHook):
                 t_params, t_stats, noisy_flat, update_stats=False,
                 bn_groups=(B,) * N)
         else:
-            (logits_flat, _), _ = ctx.bundle.apply_train(
-                t_params, t_stats, noisy_flat, update_stats=False)
+            # Fallback for models without bn_groups: loop the N passes so
+            # each normalizes with its OWN batch statistics over B (matching
+            # the bn_groups path and the reference's independent forwards),
+            # instead of pooling stats over all N*B noisy copies.
+            per_pass = [
+                ctx.bundle.apply_train(
+                    t_params, t_stats, noisy_flat[i * B:(i + 1) * B],
+                    update_stats=False)[0][0]
+                for i in range(N)
+            ]
+            logits_flat = jnp.concatenate(per_pass, axis=0)
         noisy_logits = logits_flat.reshape(N, *clean_logits.shape)
         mean_logits = (clean_logits + noisy_logits.sum(0)) / (self._num_noise + 1)
         prob_tf = jax.nn.softmax(ctx.affine_transformer(mean_logits), axis=-1)

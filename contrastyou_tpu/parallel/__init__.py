@@ -1,5 +1,5 @@
-from .mesh import (init_distributed, is_master, make_mesh, replicate,
-                   shard_batch)
+from .mesh import (DATA_AXIS, init_distributed, is_master, make_mesh,
+                   replicate, shard_batch)
 
-__all__ = ["init_distributed", "is_master", "make_mesh", "replicate",
-           "shard_batch"]
+__all__ = ["DATA_AXIS", "init_distributed", "is_master", "make_mesh",
+           "replicate", "shard_batch"]

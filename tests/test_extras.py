@@ -37,6 +37,17 @@ def test_step_schedule_milestones():
     assert np.isclose(float(s(205)), 1e-5, rtol=1e-4)
 
 
+def test_step_schedule_milestones_clamped_accumulate():
+    """ADVICE r3: milestones at/before warmup_max_epoch clamp to the same
+    boundary — each must still contribute one gamma decay (no dict
+    collapse)."""
+    s = warmup_schedule(base_lr=1e-3, multiplier=1, warmup_max_epoch=10,
+                        max_epoch=30, steps_per_epoch=10, name="step",
+                        milestones=(5, 8), gamma=0.1)
+    # both milestones clamp to the warmup join: two decays apply after it
+    assert np.isclose(float(s(150)), 1e-5, rtol=1e-4)
+
+
 def test_unknown_schedule_raises():
     with pytest.raises(KeyError):
         warmup_schedule(base_lr=1e-3, multiplier=1, warmup_max_epoch=0,
@@ -87,6 +98,43 @@ def test_ema_eval_created_from_config_and_wired():
     names = [h.name for h in hooks]
     assert "ema_eval" in names
     assert tr.hook is hooks[names.index("ema_eval")]
+
+
+def test_ema_eval_takes_precedence_over_mt():
+    """ADVICE r3: an explicit EvalEMAParameters must win over the MT teacher
+    for inference (previously set_model4inference(mt) overwrote it)."""
+    from contrastyou_tpu.hooks.creator import create_hook_from_config
+
+    class FakeTrainer:
+        hook = None
+
+        def set_model4inference(self, h):
+            self.hook = h
+
+    tr = FakeTrainer()
+    hooks = create_hook_from_config(
+        {"EvalEMAParameters": {"alpha": 0.9},
+         "MeanTeacherParameters": {"alpha": 0.999, "weight": 1.0},
+         "Data": {"name": "acdc"}, "Trainer": {"max_epoch": 5}}, trainer=tr)
+    names = [h.name for h in hooks]
+    assert tr.hook is hooks[names.index("ema_eval")]
+
+
+def test_num_teachers_gt1_raises():
+    """Ref semi_seg/hooks/mt.py:94-95 errors for num_teachers>1; the creator
+    must match rather than silently dropping the key."""
+    from contrastyou_tpu.hooks.creator import create_hook_from_config
+    with pytest.raises(NotImplementedError):
+        create_hook_from_config(
+            {"MeanTeacherParameters": {"alpha": 0.999, "weight": 1.0,
+                                       "num_teachers": 2},
+             "Data": {"name": "acdc"}, "Trainer": {"max_epoch": 5}})
+    # num_teachers=1 stays fine
+    hooks = create_hook_from_config(
+        {"MeanTeacherParameters": {"alpha": 0.999, "weight": 1.0,
+                                   "num_teachers": 1},
+         "Data": {"name": "acdc"}, "Trainer": {"max_epoch": 5}})
+    assert any(h.name == "mt" for h in hooks)
 
 
 # --- TTA ------------------------------------------------------------------

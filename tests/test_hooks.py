@@ -171,6 +171,32 @@ def test_uamt_runs_through_pallas_stage(monkeypatch):
     assert np.isfinite(float(metrics["total_loss"]))
 
 
+def test_uamt_fallback_matches_bn_groups(monkeypatch):
+    """ADVICE r3: the fallback for models without supports_bn_groups must
+    preserve per-pass BN statistics (loop of N forwards over B), matching
+    the bn_groups fast path — not one pooled [N*B] forward."""
+    bundle = _bundle()
+    hooks = [UAMeanTeacherTrainerHook(name="uamt", weight=1.0, num_noise=2,
+                                      max_epoch=2)]
+    optimizer, _ = create_optimizer({"name": "adam", "lr": 1e-3}, None,
+                                    max_epoch=2, steps_per_epoch=2)
+    batch = _batch()
+
+    def run():
+        state = init_train_state(bundle, hooks, optimizer,
+                                 jax.random.PRNGKey(1))
+        step = build_train_step(bundle, optimizer, hooks, two_stage=True,
+                                mode="semi")
+        _, metrics = step(state, batch, jax.random.PRNGKey(2), jnp.int32(0))
+        return float(metrics["uamt/loss"])
+
+    fast = run()
+    monkeypatch.setattr(type(bundle.model), "supports_bn_groups", False)
+    slow = run()
+    assert np.isfinite(fast)
+    np.testing.assert_allclose(slow, fast, rtol=2e-5, atol=2e-6)
+
+
 def test_dense_nce_bf16_warp_matches_f32(monkeypatch):
     """Round-3: dense InfoNCE warps the feature tap in bf16 (lossless —
     taps are exact upcasts of bf16 activations and the nearest warp is
