@@ -20,6 +20,7 @@ import typing as t
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ..perf import get as perf_knob
 
 __all__ = ["DeviceDataCache"]
 
@@ -190,7 +191,7 @@ def _mxu_crop_enabled() -> bool:
     """One-hot-matmul random crop knob (CONTRASTYOU_MXU_CROP=1 opts in;
     measured NEUTRAL end-to-end on this toolchain — see sample())."""
     import os
-    return os.environ.get("CONTRASTYOU_MXU_CROP", "0") == "1"
+    return perf_knob("MXU_CROP") == "1"
 
 
 def _crop_slices(imgs, tgts, oy, ox, c):

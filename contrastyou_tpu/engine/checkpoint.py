@@ -21,10 +21,11 @@ from typing import Any, Dict, Optional
 import jax
 from flax import serialization
 
+from .. import perf
 from ..loggers import logger
 
 __all__ = ["save_checkpoint", "load_checkpoint", "restore_train_state",
-           "extract_model_params"]
+           "extract_model_params", "validate_perf_compat"]
 
 
 def save_checkpoint(path: str | Path, *, train_state, host_state: Dict[str, Any]
@@ -32,6 +33,10 @@ def save_checkpoint(path: str | Path, *, train_state, host_state: Dict[str, Any]
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     tmp = Path(tempfile.mkdtemp(dir=str(path.parent)))
+    host_state = dict(host_state)
+    # self-describing checkpoints (VERDICT r3 #8): record the exact kernel/
+    # optimizer routing so a resume can detect structural mismatches
+    host_state.setdefault("perf", perf.snapshot())
     try:
         state = jax.device_get(train_state)
         (tmp / "train_state.msgpack").write_bytes(serialization.to_bytes(state))
@@ -51,6 +56,33 @@ def load_checkpoint(path: str | Path) -> Dict[str, Any]:
     with open(path / "host_state.pkl", "rb") as f:
         host_state = pickle.load(f)
     return {"train_state_bytes": raw, "host_state": host_state}
+
+
+def validate_perf_compat(host_state: Dict[str, Any]) -> None:
+    """Fail loudly when a checkpoint was written under a different value of
+    a STRUCTURAL perf knob (e.g. FUSED_OPT flips the opt_state pytree shape
+    — restoring across it would silently corrupt optimizer moments). Logs
+    non-structural routing diffs instead of failing (they only change which
+    kernels run, not saved state)."""
+    saved = host_state.get("perf")
+    if saved is None:
+        logger.warning("checkpoint has no perf snapshot (pre-round-4); "
+                       "skipping routing compatibility check")
+        return
+    current = perf.snapshot()
+    for name in perf.STRUCTURAL_KNOBS:
+        if name in saved and saved[name] != current[name]:
+            raise RuntimeError(
+                f"checkpoint was saved with CONTRASTYOU_{name}="
+                f"{saved[name]!r} but this process resolves it to "
+                f"{current[name]!r}; the optimizer state layout differs — "
+                f"set CONTRASTYOU_{name}={saved[name]} (or Perf."
+                f"{name.lower()} in the config) to resume this checkpoint")
+    diffs = {k: (saved[k], current[k]) for k in saved
+             if k in current and saved[k] != current[k]
+             and k not in perf.STRUCTURAL_KNOBS}
+    if diffs:
+        logger.info(f"perf routing differs from checkpoint (ok): {diffs}")
 
 
 def restore_train_state(template, raw_bytes: bytes):

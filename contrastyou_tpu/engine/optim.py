@@ -14,6 +14,7 @@ from typing import Callable, Mapping, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
+from ..perf import get as perf_knob
 
 _OPTIMIZERS = {
     "radam": optax.radam,
@@ -80,7 +81,7 @@ def warmup_schedule(*, base_lr: float, multiplier: float,
 
 def _fused_opt_enabled() -> bool:
     import os
-    return os.environ.get("CONTRASTYOU_FUSED_OPT", "1") != "0"
+    return perf_knob("FUSED_OPT") != "0"
 
 
 def _pack_groups(leaves, threshold: int):

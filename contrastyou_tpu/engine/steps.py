@@ -22,6 +22,7 @@ from ..ops.affine import sample_geo_params, transform_image, transform_logits
 from .bundle import ModelBundle
 from .hooks import StepContext, TrainerHook, check_hook_names, combined_taps
 from .state import TrainState
+from ..perf import get as perf_knob
 
 
 def init_train_state(bundle: ModelBundle, hooks: Sequence[TrainerHook],
@@ -74,7 +75,7 @@ def build_train_step(bundle: ModelBundle, optimizer,
     # CONTRASTYOU_FUSED_TWOSTAGE=1 (equivalence: tests/test_fused_twostage.py).
     fuse_two_stage = (
         getattr(bundle.model, "supports_bn_groups", False)
-        and os.environ.get("CONTRASTYOU_FUSED_TWOSTAGE", "0") == "1")
+        and perf_knob("FUSED_TWOSTAGE") == "1")
 
     def loss_fn(trainables, batch_stats, hook_states, batch, rng, epoch):
         params, hook_params = trainables

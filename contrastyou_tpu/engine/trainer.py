@@ -89,7 +89,11 @@ class Trainer:
         self._storage = Storage(self._save_dir)
         self._writer = SummaryWriter(self._save_dir)
         if self._config:
-            yaml_write(self._config, self._save_dir, "config.yaml")
+            # record the RESOLVED perf routing (VERDICT r3 #9): the run dir
+            # alone reproduces the exact kernel/optimizer paths
+            from .. import perf
+            yaml_write({**self._config, "Perf": perf.snapshot()},
+                       self._save_dir, "config.yaml")
 
     # --- hooks ----------------------------------------------------------
     def register_hooks(self, *hooks: TrainerHook) -> None:
@@ -521,6 +525,8 @@ class Trainer:
     def resume_from_path(self, path: str) -> None:
         assert self._initialized, "init() before resume"
         ckpt = load_checkpoint(path)
+        from .checkpoint import validate_perf_compat
+        validate_perf_compat(ckpt["host_state"])
         self._state = restore_train_state(self._state,
                                           ckpt["train_state_bytes"])
         host = ckpt["host_state"]

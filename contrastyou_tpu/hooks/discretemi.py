@@ -19,6 +19,7 @@ from ..engine.hooks import StepContext, TrainerHook
 from ..losses.discrete_mi import (iid_loss, iid_segmentation_loss, imsat_loss)
 from ..models import UNet
 from ..models.projectors import ClusterHead, DenseClusterHead
+from ..perf import get as perf_knob
 
 ENCODER_NAMES = UNet.encoder_names
 DECODER_NAMES = UNet.decoder_names
@@ -77,7 +78,7 @@ class DiscreteMITrainHook(TrainerHook):
         back to the vmapped per-subhead path (the equivalence-test A/B)."""
         import os
         return (self._dense_linear()
-                and os.environ.get("CONTRASTYOU_IIC_MERGED", "1")
+                and perf_knob("IIC_MERGED")
                 not in ("0", "kernel"))
 
     def _use_kernel(self) -> bool:
@@ -99,7 +100,7 @@ class DiscreteMITrainHook(TrainerHook):
             import os
             mdt = getattr(getattr(ctx.bundle, "model", None), "dtype", None)
             if (mdt == jnp.bfloat16 and feat.dtype == jnp.float32
-                    and os.environ.get("CONTRASTYOU_IIC_BF16", "1") != "0"):
+                    and perf_knob("IIC_BF16") != "0"):
                 feat = feat.astype(mdt)
                 feat_tf = feat_tf.astype(mdt)
             conv = params["Vmap_DenseSubHead_0"]["Conv_0"]

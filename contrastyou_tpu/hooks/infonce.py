@@ -31,6 +31,7 @@ from ..engine.hooks import StepContext, TrainerHook
 from ..losses.contrastive import self_paced_sup_con_loss, sup_con_loss
 from ..models import UNet
 from ..models.projectors import DenseProjectionHead, ProjectionHead
+from ..perf import get as perf_knob
 
 ENCODER_NAMES = UNet.encoder_names
 
@@ -132,7 +133,7 @@ class INFONCEHook(TrainerHook):
         # are too small to matter anyway)
         if (mdt == jnp.bfloat16 and feat.dtype == jnp.float32
                 and not self._is_encoder
-                and os.environ.get("CONTRASTYOU_NCE_BF16", "1") != "0"):
+                and perf_knob("NCE_BF16") != "0"):
             feat, feat_tf = feat.astype(mdt), feat_tf.astype(mdt)
         feat_aligned = ctx.affine_transformer(feat)
         both = jnp.concatenate([feat_aligned, feat_tf], axis=0)

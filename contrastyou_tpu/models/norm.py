@@ -25,6 +25,7 @@ from functools import partial
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from ..perf import get as perf_knob
 
 __all__ = ["MXUBatchNorm", "use_mxu_bn"]
 
@@ -36,7 +37,7 @@ def use_mxu_bn(features: int | None = None) -> bool:
     uses them only for layers with ``features`` <= that value (the Gram-diag
     trick wastes C^2 MXU work, so it only pays where XLA's convert_reduce is
     pathological — the wide-spatial small-C layers)."""
-    raw = os.environ.get("CONTRASTYOU_MXU_BN", "0")
+    raw = perf_knob("MXU_BN")
     try:
         val = int(raw)
     except ValueError:

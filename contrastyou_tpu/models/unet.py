@@ -23,6 +23,7 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from ..perf import get as perf_knob
 
 # (MXU-reduction BatchNorm, models/norm.py, was measured slower end-to-end
 # than the convert_reduce fusions it replaced — BENCH_NOTES round-2b — and
@@ -106,14 +107,14 @@ def use_pallas_stage(features: int, dtype=jnp.bfloat16,
         return False
     fits = dtype == jnp.bfloat16 or geo.P <= 20000
     halo_ok = geo.rs + 1 <= geo.pad
-    deep = os.environ.get("CONTRASTYOU_PALLAS_DEEP", "")
+    deep = perf_knob("PALLAS_DEEP")
     # "1" routes every deep level; a comma list of feature widths routes
     # only those levels (e.g. "128" = the 56^2 Conv3/Up_conv4 pair) — the
     # per-level on-chip A/B knob (BENCH_NOTES round 3)
     deep_ok = (features <= 64 or deep == "1"
                or str(features) in deep.split(","))
     eligible = fits and halo_ok and deep_ok
-    raw = os.environ.get("CONTRASTYOU_PALLAS_CONV", "")
+    raw = perf_knob("PALLAS_CONV")
     if raw == "0":
         return False
     if raw == "1":
@@ -678,7 +679,7 @@ class UNet(nn.Module):
         g2 = stage_geometry(H2, W2, c1, c2, 0, self.dtype) if r2 else None
 
         import os
-        chain_ok = os.environ.get("CONTRASTYOU_PLANE_CHAIN", "") != "0"
+        chain_ok = perf_knob("PLANE_CHAIN") != "0"
 
         # ---- parity-domain widest-level cluster (round 3) --------------
         # Conv1 -> maxpool and Up2 -> Up_conv2 -> Deconv_1x1 run ENTIRELY

@@ -24,6 +24,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+from ..perf import get as perf_knob
 
 
 class GeoParams(NamedTuple):
@@ -137,7 +138,7 @@ def _fast_warp_enabled() -> bool:
     path (CPU included — how the test suite covers it); default: fast on
     TPU only."""
     import os
-    raw = os.environ.get("CONTRASTYOU_FAST_WARP", "")
+    raw = perf_knob("FAST_WARP")
     if raw == "0":
         return False
     if raw == "1":

@@ -43,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from ...perf import get as perf_knob
 
 
 def _interpret() -> bool:
@@ -99,7 +100,7 @@ def _align_enabled() -> bool:
     # bitcast row splits save once plane_maxpool uses strided slices instead
     # of pair reshapes. Kept as a knob for future toolchains.
     import os
-    return os.environ.get("CONTRASTYOU_PLANE_ALIGN", "0") == "1"
+    return perf_knob("PLANE_ALIGN") == "1"
 
 
 def pick_geometry(H: int, W: int, cmax: int, itemsize: int = 2,
@@ -409,7 +410,7 @@ def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
 
 def _dyg_enabled() -> bool:
     import os
-    return os.environ.get("CONTRASTYOU_PLANE_DYG", "1") != "0"
+    return perf_knob("PLANE_DYG") != "0"
 
 
 def _conv_plane_call(xp, w2, a, b, mask, *, rs: int, apply_bn: bool,
@@ -558,7 +559,7 @@ def _dw_enabled() -> bool:
     XLA overlaps the einsums with the copies the kernel serializes behind
     its patches rebuild. Kept as a knob for future toolchains."""
     import os
-    return os.environ.get("CONTRASTYOU_PLANE_DW", "0") == "1"
+    return perf_knob("PLANE_DW") == "1"
 
 
 def _dw_plane_kernel(x_ref, g_ref, dk_ref, patches,
@@ -697,7 +698,7 @@ def _bn_vjp_enabled() -> bool:
     VJP), so no f32 residual exists. Equal up to the measure-zero case of
     a pre-activation positive but below the smallest bf16 subnormal."""
     import os
-    return os.environ.get("CONTRASTYOU_PLANE_BNVJP", "1") != "0"
+    return perf_knob("PLANE_BNVJP") != "0"
 
 
 def _bn_apply_fwd_math(xp, a, b, mask):
@@ -978,7 +979,7 @@ def _pool_vjp_enabled() -> bool:
     cotangent with pair-interleave stack/reshape instead.
     CONTRASTYOU_PLANE_POOLVJP=0 restores the AD transpose (A/B knob)."""
     import os
-    return os.environ.get("CONTRASTYOU_PLANE_POOLVJP", "1") != "0"
+    return perf_knob("PLANE_POOLVJP") != "0"
 
 
 def _balanced_max_split(a: jnp.ndarray, b: jnp.ndarray, g: jnp.ndarray):
@@ -1204,7 +1205,7 @@ def _upvjp_enabled() -> bool:
     same trick as the strided plane_maxpool rewrite). Bit-identical (pure
     permutation either way)."""
     import os
-    return os.environ.get("CONTRASTYOU_PLANE_UPVJP", "1") != "0"
+    return perf_knob("PLANE_UPVJP") != "0"
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -1283,7 +1284,7 @@ def upconv_plane(xp: jnp.ndarray, k3: jnp.ndarray, H: int, W: int,
                                              geo_in, offs)
             ssum, ssq = ssum + s, ssq + sq
             raw.append(o)
-    ilv2 = os.environ.get("CONTRASTYOU_PLANE_ILV2", "1") != "0"
+    ilv2 = perf_knob("PLANE_ILV2") != "0"
     if ilv2 and _upvjp_enabled():
         # custom-transpose form (stride-2 slice backward)
         out = upconv_interleave(raw[0], raw[1], raw[2], raw[3],
@@ -1332,12 +1333,12 @@ def use_plane_upconv(features: int, cin: int, spatial_in: Tuple[int, int],
         return False
     fits = dtype == jnp.bfloat16 or geo.P <= 20000
     eligible = fits and (geo.rs + 1 <= geo.pad)
-    knob = os.environ.get("CONTRASTYOU_PLANE_UPCONV", "up2")
+    knob = perf_knob("PLANE_UPCONV")
     if knob == "0":
         return False                      # A/B knob (measured on-chip)
     if knob != "1" and tag not in knob.split(","):
         return False
-    raw = os.environ.get("CONTRASTYOU_PALLAS_CONV", "")
+    raw = perf_knob("PALLAS_CONV")
     if raw == "0":
         return False
     if raw == "1":
@@ -1382,11 +1383,10 @@ def use_parity_chain(cin_img: int, c1: int, cu2: int,
     # stacked 4-parity input block + patches scratch residency
     if (4 * cmax * geo.lbuf + 9 * cmax * geo.mb) * itemsize > (14 << 20):
         return False
-    knob = os.environ.get("CONTRASTYOU_PLANE_PARITY", "fwd" if fwd_only
-                          else "0")
+    knob = perf_knob("PLANE_PARITY") or ("fwd" if fwd_only else "0")
     if knob != "1" and not (fwd_only and knob == "fwd"):
         return False
-    raw = os.environ.get("CONTRASTYOU_PALLAS_CONV", "")
+    raw = perf_knob("PALLAS_CONV")
     if raw == "0":
         return False
     if raw == "1":
@@ -1765,7 +1765,7 @@ def parity_enabled() -> bool:
     (default ON on TPU after the round-3 on-chip A/B; =1 forces it on CPU
     — how the test suite covers it; =0 disables)."""
     import os
-    raw = os.environ.get("CONTRASTYOU_PLANE_PARITY", "")
+    raw = perf_knob("PLANE_PARITY")
     if raw == "0":
         return False
     if raw == "1":

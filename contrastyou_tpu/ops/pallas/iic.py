@@ -44,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .convblock import _interpret
+from ...perf import get as perf_knob
 
 #: VMEM budget for the live [S*Kp, Lc] f32 vectors of the backward kernel:
 #: three softmax/cotangent scratches plus ~5 transient values the compiler
@@ -348,7 +349,7 @@ def use_iic_kernel() -> bool:
     "kernel" = this kernel; default: kernel on TPU, merged elsewhere
     (CPU suites opt in via =kernel, which runs interpret mode)."""
     import os
-    v = os.environ.get("CONTRASTYOU_IIC_MERGED", "")
+    v = perf_knob("IIC_MERGED")
     if v == "kernel":
         return True
     if v in ("0", "1"):

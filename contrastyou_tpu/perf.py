@@ -1,0 +1,90 @@
+"""Central registry for the performance/routing knobs.
+
+Every kernel-routing and numerics-affecting toggle in the framework reads
+through :func:`get` so that (a) defaults live in ONE table, (b) a run's
+exact routing can be captured with :func:`snapshot` and recorded in the
+dumped config + checkpoint, and (c) a ``Perf:`` config section can set
+knobs from the config file (environment variables still win as explicit
+overrides — VERDICT r3 #9).
+
+Knob semantics are documented at their consuming call sites (CLAUDE.md has
+the measured A/B story for each); ``""`` means "auto" — the call site picks
+a platform-appropriate default (e.g. Pallas routing on TPU, XLA on CPU).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Mapping
+
+__all__ = ["KNOBS", "get", "snapshot", "apply_config", "STRUCTURAL_KNOBS"]
+
+_PREFIX = "CONTRASTYOU_"
+
+#: knob name -> default (string). "" = auto-resolved at the call site.
+KNOBS: Dict[str, str] = {
+    # conv-stage routing (ops/pallas/convblock.py, models/unet.py)
+    "PALLAS_CONV": "",      # "" auto: plane kernels on TPU, XLA on CPU
+    "PALLAS_DEEP": "",      # "" off; "1" all C>=128 levels; "128,256" list
+    "PLANE_CHAIN": "1",     # keep plane layout across pool/skip boundaries
+    "PLANE_UPCONV": "up2",  # plane upsample+conv: "0"|"1"|"up2"
+    "PLANE_DYG": "1",       # dy-grouped 3x3 kernel form
+    "PLANE_ALIGN": "0",     # pad plane rows to 128-multiples
+    "PLANE_PARITY": "",     # "" auto: parity chain for fwd-only passes only
+    "PLANE_BNVJP": "1",     # residual-free BN+ReLU apply backward
+    "PLANE_POOLVJP": "1",   # scatter-free plane-pool backward
+    "PLANE_UPVJP": "1",     # custom upconv-interleave backward
+    "PLANE_ILV2": "1",      # two-pass upconv interleave
+    "PLANE_DW": "0",        # Pallas plane weight-grad kernel
+    # step/optimizer structure
+    "FUSED_OPT": "1",       # ravel small leaves around the optax chain
+    "FUSED_TWOSTAGE": "0",  # one conv pass over cat(l, u, u_tf) w/ BN groups
+    # loss kernels / numerics
+    "IIC_MERGED": "",       # "" auto: fused Pallas IIC kernel on TPU
+    "IIC_BF16": "1",        # bf16 feature path into the IIC loss
+    "NCE_BF16": "1",        # bf16 feature warp in dense InfoNCE
+    "FAST_WARP": "",        # "" auto: two-pass nearest warp on TPU
+    # measured-off experiments kept for re-measurement
+    "MXU_BN": "0",          # BN reductions as MXU matmuls
+    "MXU_CROP": "0",        # one-hot-matmul random crop
+}
+
+#: knobs that change the STRUCTURE of saved state (opt_state pytree shape):
+#: a checkpoint written under one value cannot be restored under another.
+STRUCTURAL_KNOBS = ("FUSED_OPT",)
+
+
+def get(name: str) -> str:
+    """Effective value of knob ``name``: explicit env var if set, else the
+    registry default (which apply_config may have overridden from config)."""
+    return os.environ.get(_PREFIX + name, KNOBS[name])
+
+
+def snapshot() -> Dict[str, str]:
+    """The exact routing of this process right now — recorded in
+    dump_config and checkpoints so a run dir alone reproduces it."""
+    return {name: get(name) for name in sorted(KNOBS)}
+
+
+def apply_config(section: Mapping[str, Any] | None) -> Dict[str, str]:
+    """Apply a config-file ``Perf:`` section: each key (case-insensitive,
+    e.g. ``plane_chain: "0"``) becomes the knob's default for this process.
+    An explicitly-set environment variable still wins (env is the override
+    channel). Returns the resulting snapshot. Unknown keys error — typos in
+    perf knobs must not silently no-op."""
+    if section:
+        for key, value in section.items():
+            name = str(key).upper()
+            if name not in KNOBS:
+                raise KeyError(
+                    f"Perf.{key}: unknown knob (known: {sorted(KNOBS)})")
+            if _PREFIX + name not in os.environ:
+                KNOBS[name] = _coerce(value)
+    return snapshot()
+
+
+def _coerce(value: Any) -> str:
+    if value is True:
+        return "1"
+    if value is False:
+        return "0"
+    return str(value)

@@ -46,6 +46,11 @@ def main(argv=None) -> float:
     seed = int(config.get("RandomSeed", 10))
     fix_all_seed(seed)
 
+    # config-file perf routing (Perf.* section; env vars stay overrides) —
+    # apply BEFORE any model/step code reads the knobs at trace time
+    from contrastyou_tpu import perf
+    perf.apply_config(config.get("Perf"))
+
     data_name = config["Data"]["name"]
     opt_file = Path(OPT_PATH) / f"{data_name}.yaml"
     if opt_file.exists():
