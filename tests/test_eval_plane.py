@@ -19,6 +19,8 @@ import pytest
 
 from contrastyou_tpu.models import UNet
 
+pytestmark = pytest.mark.pallas  # interpret-mode kernel suite (slow on CPU)
+
 
 def _mk(max_channel=128, num_classes=4):
     return UNet(input_dim=1, num_classes=num_classes,

@@ -14,6 +14,8 @@ from contrastyou_tpu.models.projectors import dense_cluster_probs_merged
 from contrastyou_tpu.ops.pallas.iic import (fused_dense_iic_raw_joints,
                                             pick_chunks)
 
+pytestmark = pytest.mark.pallas  # interpret-mode kernel suite (slow on CPU)
+
 S, K, C = 3, 20, 16
 
 

@@ -10,6 +10,8 @@ from contrastyou_tpu.losses.contrastive import (_expand_masks,
                                                 pair_masks_from_target,
                                                 sup_con_loss)
 
+pytestmark = pytest.mark.pallas  # interpret-mode kernel suite (slow on CPU)
+
 tpu_only = pytest.mark.skipif(jax.default_backend() == "cpu",
                               reason="pallas kernels need the TPU backend")
 

@@ -10,6 +10,8 @@ import pytest
 from contrastyou_tpu.models.unet import ConvBlock
 from contrastyou_tpu.ops.pallas import convblock as cb
 
+pytestmark = pytest.mark.pallas  # interpret-mode kernel suite (slow on CPU)
+
 
 def _mkblock():
     return ConvBlock(features=16, momentum=0.1, dtype=jnp.float32)

@@ -15,6 +15,8 @@ import pytest
 
 from contrastyou_tpu.ops.pallas import convblock as cb
 
+pytestmark = pytest.mark.pallas  # interpret-mode kernel suite (slow on CPU)
+
 H, W = 12, 100   # aligned: rs=128 (128 <= 1.5*102); legacy: rs=102
 
 

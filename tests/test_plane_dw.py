@@ -17,6 +17,8 @@ import pytest
 
 import contrastyou_tpu.ops.pallas.convblock as cb
 
+pytestmark = pytest.mark.pallas  # interpret-mode kernel suite (slow on CPU)
+
 
 def _grads_3x3(dw: bool, H, W, cin, cout, seed=0):
     os.environ["CONTRASTYOU_PLANE_DW"] = "1" if dw else "0"

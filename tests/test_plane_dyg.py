@@ -15,6 +15,8 @@ import pytest
 
 import contrastyou_tpu.ops.pallas.convblock as cb
 
+pytestmark = pytest.mark.pallas  # interpret-mode kernel suite (slow on CPU)
+
 
 def _run(dyg: bool, H, W, cin, cout, seed=0):
     os.environ["CONTRASTYOU_PLANE_DYG"] = "1" if dyg else "0"

@@ -16,6 +16,8 @@ import pytest
 from contrastyou_tpu.models import UNet
 from contrastyou_tpu.ops.pallas import convblock as cb
 
+pytestmark = pytest.mark.pallas  # interpret-mode kernel suite (slow on CPU)
+
 
 @pytest.fixture(autouse=True)
 def _enable_pallas(monkeypatch):

@@ -18,6 +18,8 @@ import pytest
 
 import contrastyou_tpu.ops.pallas.convblock as cb
 
+pytestmark = pytest.mark.pallas  # interpret-mode kernel suite (slow on CPU)
+
 
 def _grads(custom: bool, to_nhwc: bool, H, W, C, B=3, seed=0):
     os.environ["CONTRASTYOU_PLANE_POOLVJP"] = "1" if custom else "0"

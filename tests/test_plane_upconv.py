@@ -15,6 +15,8 @@ import pytest
 from contrastyou_tpu.models.unet import UNet, UpConv, conv3x3_on_upsampled
 from contrastyou_tpu.ops.pallas import convblock as cb
 
+pytestmark = pytest.mark.pallas  # interpret-mode kernel suite (slow on CPU)
+
 
 @pytest.fixture(autouse=True)
 def _force_pallas(monkeypatch):
