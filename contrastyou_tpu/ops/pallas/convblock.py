@@ -675,6 +675,162 @@ def plane_conv_dw(xp: jnp.ndarray, g: jnp.ndarray, geo: PlaneGeo,
     return dk[:, 0]
 
 
+def _fusedbwd_enabled() -> bool:
+    """Single-pass dx+dW backward (CONTRASTYOU_PLANE_FUSEDBWD, default
+    OFF). The dx transposed-conv kernel already builds the full
+    tap-patches of the masked cotangent; the weight grad contracts those
+    SAME patches against the unshifted input block (``dk[t,i,o] =
+    sum_m xp[i,m] * g[o, m-off_t]`` and the 3x3 offset set is symmetric
+    under negation, so the tap axis just reverses) — one extra MXU matmul
+    + one blocked load replace the 9 sliced XLA einsums. MEASURED WORSE
+    round 4 (whole-model fwd+bwd 15.56 vs 15.01 ms, production routing):
+    dW's FLOPs equal the conv's, and moving them into the kernel
+    SERIALIZES them behind the dx matmul while XLA overlapped the einsums
+    with the surrounding copies — the same overlap economics that rejected
+    PLANE_DW in round 3. Kept as a knob for future toolchains;
+    equivalence: tests/test_plane_fused_bwd.py."""
+    return perf_knob("PLANE_FUSEDBWD") == "1"
+
+
+def _fused_bwd_kernel(g_ref, w2t_ref, x_ref, dx_ref, dk_ref, patches,
+                      *, offsets, cg: int, crep: int, mb: int, pad: int):
+    """grid (B, nj). Builds the tap patches of the masked cotangent once,
+    then two matmuls:
+
+      dx block   = w2t [Cin, T*cg*crep] @ patches [T*cg*crep, mb]
+      dk partial = patches @ x_blk [Cin, mb]^T   (accumulated over ji)
+
+    ``dk`` rows are tap-REVERSED relative to the true weight grad (the
+    patches were built for the transposed conv; negating the symmetric
+    offset set reverses the tap order) — the caller un-reverses."""
+    ji = pl.program_id(1)
+    wide_lo = mb + ji * mb - pad
+    width = mb + 2 * pad
+    gw = g_ref[0, :, pl.ds(wide_lo, width)].astype(jnp.float32)
+    rows = cg * crep
+    dtype = dx_ref.dtype
+    for t, off in enumerate(offsets):
+        rel = (-(pad + off)) % width
+        blk = pltpu.roll(gw, rel, 1)[:, :mb].astype(dtype)
+        if crep > 1:
+            blk = pltpu.repeat(blk, crep, 0)
+        patches[pl.ds(t * rows, rows), :] = blk
+    dx = jax.lax.dot_general(
+        w2t_ref[:], patches[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [Cin, mb]
+    dx_ref[0, :, :] = dx.astype(dtype)
+    dk = jax.lax.dot_general(
+        patches[:], x_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [T*rows, Cin]
+
+    @pl.when(ji == 0)
+    def _init():
+        dk_ref[0] = dk
+
+    @pl.when(ji > 0)
+    def _acc():
+        dk_ref[0] += dk
+
+
+def _fused_bwd_call(g, w2t, xp, *, mb: int, pad: int, offsets, crep: int):
+    B, cg, Lbuf = g.shape
+    cin = w2t.shape[0]
+    rows = cg * crep
+    T = len(offsets)
+    nj = Lbuf // mb - 2
+    kern = partial(_fused_bwd_kernel, offsets=offsets, cg=cg, crep=crep,
+                   mb=mb, pad=pad)
+    return pl.pallas_call(
+        kern,
+        grid=(B, nj),
+        in_specs=[
+            pl.BlockSpec((1, cg, Lbuf), lambda bi, ji: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, T * rows), lambda bi, ji: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cin, mb), lambda bi, ji: (bi, 0, ji + 1),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cin, mb), lambda bi, ji: (bi, 0, ji + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T * rows, cin), lambda bi, ji: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, cin, Lbuf), g.dtype),
+            jax.ShapeDtypeStruct((B, T * rows, cin), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((T * rows, mb), g.dtype)],
+        interpret=_interpret(),
+    )(g, w2t, xp)
+
+
+@lru_cache(maxsize=None)
+def _partitioned_fused_bwd(mb: int, pad: int, offsets, crep: int,
+                           _dtype_key: str):
+    """GSPMD rule mirroring :func:`_partitioned_conv`: batch-independent, so
+    each shard runs on its local batch; dx stays batch-sharded and the dk
+    partials' caller-side batch sum is the global grad reduction."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def _raw(g, w2t, xp):
+        return _fused_bwd_call(g, w2t, xp, mb=mb, pad=pad, offsets=offsets,
+                               crep=crep)
+
+    fn = custom_partitioning(_raw)
+
+    def _batch_axis(arg_shapes):
+        spec = arg_shapes[0].sharding.spec
+        return spec[0] if len(spec) > 0 else None
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        baxis = _batch_axis(arg_shapes)
+        sh = NamedSharding(mesh, P(baxis, None, None))
+        return (sh, sh)
+
+    def partition(mesh, arg_shapes, result_shape):
+        baxis = _batch_axis(arg_shapes)
+        sh = NamedSharding(mesh, P(baxis, None, None))
+        rep = NamedSharding(mesh, P())
+        return mesh, _raw, (sh, sh), (sh, rep, sh)
+
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding,
+        sharding_rule="bb c l, i k, bb c2 l2 -> bb i2 l3, bb k2 i3",
+        need_replication_factors=("c", "l", "i", "k", "c2", "l2", "i2",
+                                  "l3", "k2", "i3"))
+    return fn
+
+
+def plane_conv_bwd_fused(xp: jnp.ndarray, kernel: jnp.ndarray,
+                         g: jnp.ndarray, geo: PlaneGeo):
+    """Fused backward of a 3x3 plane conv: (dx_raw [B,Cin,Lbuf],
+    dk [3,3,Cin,Cout]) from the input planes ``xp`` and the MASKED
+    cotangent ``g`` (zero on borders/guards — so wrapped halo lanes and
+    the ppad tail contribute exactly zero to both products). dx guard
+    blocks are unwritten; the caller masks."""
+    B, cin, Lbuf = xp.shape
+    cg = g.shape[1]                        # = Cout of the forward conv
+    offsets = tap_offsets(geo.rs)
+    T = len(offsets)
+    if max(abs(o) for o in offsets) > geo.pad:
+        raise ValueError(f"bwd tap offsets {offsets} exceed halo {geo.pad}")
+    w2t = fold_kernel_transposed(kernel)   # [Cin, 9*Cout], tap-flipped
+    crep = 1 if cg >= 8 else 8 // cg
+    if crep > 1:
+        w3 = w2t.reshape(cin, T, cg)
+        w2t = jnp.broadcast_to(w3[:, :, None, :] / crep,
+                               (cin, T, crep, cg)).reshape(cin, -1)
+    f = _partitioned_fused_bwd(geo.mb, geo.pad, tuple(offsets), crep,
+                               str(jnp.dtype(xp.dtype)))
+    dx, parts = f(g.astype(xp.dtype), w2t.astype(xp.dtype), xp)
+    dk = parts.sum(0).reshape(T, crep, cg, cin)[::-1, 0]   # un-reverse taps
+    return dx, dk.transpose(0, 2, 1).reshape(3, 3, cin, cg)
+
+
 def bn_affine(stats_sum: jnp.ndarray, stats_sqsum: jnp.ndarray, count: float,
               scale: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-5):
     """Fold batch stats + BN params into the (a, b) of y = a*x + b.
@@ -774,9 +930,17 @@ def _plane_conv_fwd(xp, kernel, mask, H, W, geo):
 def _plane_conv_bwd(H, W, geo, res, g):
     xp, kernel, mask = res
     gg = geo or _default_geo(H, W)
+    g = jnp.where(mask[None] > 0, g, 0).astype(xp.dtype)
+    if _fusedbwd_enabled() and xp.shape[1] >= 8:
+        # single-pass dx+dW: the dk contraction rides the dx kernel's
+        # cotangent patches (see _fusedbwd_enabled). cin < 8 (the image
+        # conv) stays on the split path — a 1-lane dk output tile wastes
+        # the MXU and the einsum there is tiny.
+        dxp, dk = plane_conv_bwd_fused(xp, kernel, g, gg)
+        dxp = jnp.where(mask[None] > 0, dxp, 0).astype(xp.dtype)
+        return dxp, dk.astype(kernel.dtype), None
     # dx: transposed conv = plane conv of the cotangent with the spatially
     # flipped, channel-swapped kernel (same Pallas kernel).
-    g = jnp.where(mask[None] > 0, g, 0).astype(xp.dtype)
     dxp, _ = conv_plane_geo(g, fold_kernel_transposed(kernel), mask, H, W,
                             geo=geo)
     dxp = jnp.where(mask[None] > 0, dxp, 0).astype(xp.dtype)

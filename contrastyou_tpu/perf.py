@@ -31,6 +31,10 @@ KNOBS: Dict[str, str] = {
     "PLANE_ALIGN": "0",     # pad plane rows to 128-multiples
     "PLANE_PARITY": "",     # "" auto: parity chain for fwd-only passes only
     "PLANE_BNVJP": "1",     # residual-free BN+ReLU apply backward
+    "PLANE_FUSEDBWD": "0",  # single-pass dx+dW plane-conv backward
+                            # (measured worse r4: 15.56 vs 15.01 ms — the
+                            # in-kernel dW matmul serializes what XLA
+                            # overlaps; same trap as PLANE_DW)
     "PLANE_POOLVJP": "1",   # scatter-free plane-pool backward
     "PLANE_UPVJP": "1",     # custom upconv-interleave backward
     "PLANE_ILV2": "1",      # two-pass upconv interleave

@@ -67,6 +67,10 @@ def build(mode: str):
     # "...-nobnvjp" re-measures the autodiff form
     os.environ["CONTRASTYOU_PLANE_BNVJP"] = (
         "0" if mode.endswith("nobnvjp") else "1")
+    # round-4 single-pass dx+dW backward; "...-nofusedbwd" re-measures the
+    # split path (dx transposed-conv call + sliced-einsum dk)
+    os.environ["CONTRASTYOU_PLANE_FUSEDBWD"] = (
+        "0" if mode.endswith("nofusedbwd") else "1")
     model = UNet(input_dim=1, num_classes=4, max_channel=512)
     x0 = jnp.asarray(np.random.default_rng(0).standard_normal((B, H, H, 1)),
                      jnp.bfloat16)
