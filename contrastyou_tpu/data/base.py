@@ -51,7 +51,8 @@ class SliceDataset:
                  sub_folders: t.Sequence[str] = ("img", "gt"),
                  sub_folder_types: t.Sequence[str] = ("image", "gt"),
                  transforms=None, group_re: str | None = None,
-                 partition_num: int | None = None):
+                 partition_num: int | None = None,
+                 info_name: str | None = None):
         self._root_dir = str(root_dir)
         self._mode = mode
         self._sub_folders = list(sub_folders)
@@ -76,6 +77,20 @@ class SliceDataset:
         self._memory = memory
         self._preload: t.Optional[dict] = None
         self._scan_slice_count = self._count_slices_per_scan()
+        # The real archives ship a per-scan slice-count metadata file
+        # (acdc_info.npy / prostate_info.npy / meta_{ct,mr}.npy ...,
+        # ref semi_seg/data/dataset.py:23-26): when present it drives the
+        # partition computation exactly as the reference does; otherwise the
+        # counts derived from the file list above are used (identical
+        # whenever the metadata matches the actual slices on disk).
+        self._scan_info: t.Optional[t.Dict[str, int]] = None
+        if info_name is not None:
+            info_path = Path(self._root_dir, info_name)
+            if info_path.exists():
+                raw = np.load(str(info_path), allow_pickle=True)
+                info = raw.item() if raw.ndim == 0 else raw.tolist()
+                assert isinstance(info, dict), info_path
+                self._scan_info = {str(k): int(v) for k, v in info.items()}
 
     # --- scan grouping --------------------------------------------------
     def get_scan_name(self, stem: str) -> str:
@@ -106,9 +121,19 @@ class SliceDataset:
     # --- partitions -----------------------------------------------------
     def get_partition(self, stem: str) -> int:
         """Anatomical partition (apex/mid/base-style index) of a slice from its
-        position within the scan (ref: semi_seg/data/dataset.py:33-42)."""
+        position within the scan (ref: semi_seg/data/dataset.py:33-42).
+
+        ``max_len`` comes from the archive's ``*_info.npy`` metadata when it
+        was found (the reference's exact source), else from the slice count
+        derived from the file list. The reference uses the 3-way threshold
+        form for partition_num == 3 (ACDC, Hippocampus) and
+        ``cur // (cut + 1)`` for the rest (prostate 8 / prostate_md 4 /
+        mmwhs 5 / spleen 5)."""
         scan = self.get_scan_name(stem)
-        max_len = self._scan_slice_count[scan]
+        if self._scan_info is not None and scan in self._scan_info:
+            max_len = self._scan_info[scan]
+        else:
+            max_len = self._scan_slice_count[scan]
         cur_index = int(re.findall(r"\d+", Path(stem).stem)[-1])
         cut = max(max_len // self.partition_num, 1)
         return min(cur_index // (cut + 1) if self.partition_num > 3 else

@@ -107,12 +107,13 @@ def pick_geometry(H: int, W: int, cmax: int, itemsize: int = 2,
                   align: Optional[bool] = None) -> PlaneGeo:
     if align is None:
         align = _align_enabled()
-    return _pick_geometry(H, W, cmax, itemsize, align)
+    return _pick_geometry(H, W, cmax, itemsize, align,
+                          float(perf_knob("PLANE_GEOCOST") or 0))
 
 
 @lru_cache(maxsize=None)
 def _pick_geometry(H: int, W: int, cmax: int, itemsize: int,
-                   align: bool) -> PlaneGeo:
+                   align: bool, lbw: float = 0.0) -> PlaneGeo:
     """Choose (mb, pad, rs) for a plane stage whose widest conv has ``cmax``
     input channels: minimize the total lanes actually processed
     ``nj * (mb + 2*pad)`` (each grid step loads its block plus the halo
@@ -122,7 +123,15 @@ def _pick_geometry(H: int, W: int, cmax: int, itemsize: int,
     budget and ``mb >= pad`` (the guard block must cover the halo
     look-back). ``align``: use a 128-aligned row stride when the padding
     waste is acceptable (CONTRASTYOU_PLANE_ALIGN=0 forces the legacy W+2
-    stride everywhere — A/B knob)."""
+    stride everywhere — A/B knob).
+
+    ``lbw`` (CONTRASTYOU_PLANE_GEOCOST): weight of ``lbuf`` in the cost.
+    The legacy cost only counts kernel window re-reads, but every
+    f32/bf16 elementwise pass outside the kernels (backward cotangent
+    glue, masks, chaining pads) covers the FULL guarded buffer — at
+    quarter geometry (112^2, the parity chain) the mb-granular guards
+    make lbuf/P = 1.42 under the legacy pick (mb=2048) vs 1.18 at
+    mb=1024. lbw > 0 trades window traffic for smaller buffers."""
     rs = W + 2
     aligned = ((W + 2 + 127) // 128) * 128
     if align and aligned <= _ALIGN_MAX_WASTE * (W + 2):
@@ -135,7 +144,7 @@ def _pick_geometry(H: int, W: int, cmax: int, itemsize: int,
         if mb < pad or 9 * cmax * crep * mb * itemsize > _PATCH_BUDGET:
             continue
         geo = make_geo(H, W, mb, pad, rs)
-        key = (geo.nj * (mb + 2 * pad), -mb)
+        key = (geo.nj * (mb + 2 * pad) + lbw * geo.lbuf, -mb)
         if best is None or key < best[0]:
             best = (key, geo)
     if best is None:

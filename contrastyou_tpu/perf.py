@@ -39,6 +39,11 @@ KNOBS: Dict[str, str] = {
     "PLANE_UPVJP": "1",     # custom upconv-interleave backward
     "PLANE_ILV2": "1",      # two-pass upconv interleave
     "PLANE_DW": "0",        # Pallas plane weight-grad kernel
+    "PLANE_GEOCOST": "0",   # lbuf weight in the plane-geometry cost (float;
+                            # 0 = legacy window-traffic-only cost; >0 trades
+                            # kernel window re-reads for smaller guarded
+                            # buffers — elementwise/backward passes scale
+                            # with lbuf, see _pick_geometry)
     # step/optimizer structure
     "FUSED_OPT": "1",       # ravel small leaves around the optax chain
     "FUSED_TWOSTAGE": "0",  # one conv pass over cat(l, u, u_tf) w/ BN groups

@@ -67,10 +67,18 @@ def build(mode: str):
     # "...-nobnvjp" re-measures the autodiff form
     os.environ["CONTRASTYOU_PLANE_BNVJP"] = (
         "0" if mode.endswith("nobnvjp") else "1")
-    # round-4 single-pass dx+dW backward; "...-nofusedbwd" re-measures the
-    # split path (dx transposed-conv call + sliced-einsum dk)
+    # round-4 single-pass dx+dW backward: production default is OFF
+    # (measured 15.56 vs 15.01 ms); "...-fusedbwd" re-measures it
     os.environ["CONTRASTYOU_PLANE_FUSEDBWD"] = (
-        "0" if mode.endswith("nofusedbwd") else "1")
+        "1" if "fusedbwd" in mode and "nofusedbwd" not in mode else "0")
+    # round-4 lbuf-weighted geometry cost: "...-gcH" (e.g. plane-gc1,
+    # plane-shallow-gc05) sets CONTRASTYOU_PLANE_GEOCOST
+    gc = "0"
+    for part in mode.split("-"):
+        if part.startswith("gc"):
+            gc = part[2:].replace("_", ".")
+            gc = {"05": "0.5"}.get(gc, gc)
+    os.environ["CONTRASTYOU_PLANE_GEOCOST"] = gc
     model = UNet(input_dim=1, num_classes=4, max_channel=512)
     x0 = jnp.asarray(np.random.default_rng(0).standard_normal((B, H, H, 1)),
                      jnp.bfloat16)
