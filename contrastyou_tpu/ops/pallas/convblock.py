@@ -107,8 +107,15 @@ def pick_geometry(H: int, W: int, cmax: int, itemsize: int = 2,
                   align: Optional[bool] = None) -> PlaneGeo:
     if align is None:
         align = _align_enabled()
-    return _pick_geometry(H, W, cmax, itemsize, align,
-                          float(perf_knob("PLANE_GEOCOST") or 0))
+    gc = perf_knob("PLANE_GEOCOST")
+    if gc == "":
+        # auto: the measured-best weight per routing (round-4 A/B ledger)
+        # — 1.0 when the parity chain carries the differentiated forward
+        # (14.63 ms whole-model), 0.5 for the interleaved full-res chain
+        # (14.68 vs 15.24 at 1.0; "fwd"/"0" modes train no-parity, and the
+        # fwd-only parity passes measure within 0.05 ms of either weight).
+        gc = "1" if perf_knob("PLANE_PARITY") in ("", "1") else "0.5"
+    return _pick_geometry(H, W, cmax, itemsize, align, float(gc))
 
 
 @lru_cache(maxsize=None)
@@ -1527,19 +1534,16 @@ def use_parity_chain(cin_img: int, c1: int, cu2: int,
     4-parity planes of the widest stage must fit one VMEM input block and
     the backward pass needs 8-aligned cotangent channel blocks.
 
-    ``CONTRASTYOU_PLANE_PARITY``: "1" opts in; default OFF — the on-chip
-    whole-model A/B ledger (224^2 batch 10, fwd+bwd, BENCH_NOTES round 3):
-    four-call form 22.17 ms (re-loads the stacked input per output
-    parity), fused multi kernel 16.65, + stats-free skip convs 16.28 — vs
-    15.56 ms interleaved. FORWARD-only the parity chain WINS (6.62 vs
-    7.20 ms): the glue savings are real, but the backward pays them back
-    in quarter-geometry guard-padding (every elementwise pass covers
-    lbuf/P = 1.42x the real lanes vs 1.20x at full res) and a 4x dW
-    einsum count. Kept as a measured knob. ``fwd_only=True`` (eval /
-    teacher forwards, which are never differentiated) flips the default
-    to ON — those passes get the forward win without the backward cost
-    ("0" still disables both directions). ``CONTRASTYOU_PALLAS_CONV=1``
-    runs it on CPU in interpret mode (tests)."""
+    ``CONTRASTYOU_PLANE_PARITY``: default ON for BOTH directions since
+    round 4 — under the lbuf-weighted geometry (PLANE_GEOCOST auto) the
+    quarter-geometry guard padding that made the round-3 train chain lose
+    (16.28 vs 15.56 ms; lbuf/P = 1.42 at the legacy mb=2048 pick) drops
+    to 1.18 at mb=1024 and the parity train chain WINS: 14.63 vs 15.01 ms
+    whole-model fwd+bwd (224^2 batch 10), bench 357.3 -> 367.1 slices/s.
+    Forward-only it was already a win in round 3 (6.62 vs 7.20 ms).
+    "fwd" restores the round-3 policy (fwd-only passes), "0" disables
+    both directions. ``CONTRASTYOU_PALLAS_CONV=1`` runs it on CPU in
+    interpret mode (tests)."""
     import os
     H, W = spatial
     if H % 2 or W % 2 or c1 % 8 or cu2 % 8:
@@ -1556,7 +1560,7 @@ def use_parity_chain(cin_img: int, c1: int, cu2: int,
     # stacked 4-parity input block + patches scratch residency
     if (4 * cmax * geo.lbuf + 9 * cmax * geo.mb) * itemsize > (14 << 20):
         return False
-    knob = perf_knob("PLANE_PARITY") or ("fwd" if fwd_only else "0")
+    knob = perf_knob("PLANE_PARITY") or "1"
     if knob != "1" and not (fwd_only and knob == "fwd"):
         return False
     raw = perf_knob("PALLAS_CONV")

@@ -29,7 +29,10 @@ KNOBS: Dict[str, str] = {
     "PLANE_UPCONV": "up2",  # plane upsample+conv: "0"|"1"|"up2"
     "PLANE_DYG": "1",       # dy-grouped 3x3 kernel form
     "PLANE_ALIGN": "0",     # pad plane rows to 128-multiples
-    "PLANE_PARITY": "",     # "" auto: parity chain for fwd-only passes only
+    "PLANE_PARITY": "",     # "" auto: parity chain ON (train + fwd-only;
+                            # round-4 flip — wins under the lbuf-weighted
+                            # geometry: 14.63 vs 15.01 ms whole-model);
+                            # "fwd" = fwd-only passes only, "0" = off
     "PLANE_BNVJP": "1",     # residual-free BN+ReLU apply backward
     "PLANE_FUSEDBWD": "0",  # single-pass dx+dW plane-conv backward
                             # (measured worse r4: 15.56 vs 15.01 ms — the
@@ -39,11 +42,14 @@ KNOBS: Dict[str, str] = {
     "PLANE_UPVJP": "1",     # custom upconv-interleave backward
     "PLANE_ILV2": "1",      # two-pass upconv interleave
     "PLANE_DW": "0",        # Pallas plane weight-grad kernel
-    "PLANE_GEOCOST": "0",   # lbuf weight in the plane-geometry cost (float;
-                            # 0 = legacy window-traffic-only cost; >0 trades
-                            # kernel window re-reads for smaller guarded
-                            # buffers — elementwise/backward passes scale
-                            # with lbuf, see _pick_geometry)
+    "PLANE_GEOCOST": "",    # lbuf weight in the plane-geometry cost (float;
+                            # "" auto: 1.0 when the parity chain routes,
+                            # 0.5 when PLANE_PARITY=0 — the measured-best
+                            # pairing per routing; 0 = legacy
+                            # window-traffic-only cost; >0 trades kernel
+                            # window re-reads for smaller guarded buffers —
+                            # elementwise/backward passes scale with lbuf,
+                            # see _pick_geometry)
     # step/optimizer structure
     "FUSED_OPT": "1",       # ravel small leaves around the optax chain
     "FUSED_TWOSTAGE": "0",  # one conv pass over cat(l, u, u_tf) w/ BN groups
