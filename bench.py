@@ -158,21 +158,35 @@ def bench_hostfed(bundle, hooks, optimizer, state):
     epoch = jnp.int32(0)
     counter = iter(range(10 ** 9))
 
+    # same input machinery as the trainer (data/wire.py): u8 wire packing
+    # + a device-prefetch thread that overlaps the tunnel transfer with the
+    # running step (VERDICT r3 #7)
+    from contrastyou_tpu.data.wire import (DevicePrefetcher, pack_array,
+                                           prefetch_depth)
+
+    def produce():
+        while True:
+            batches = []
+            for _ in range(UNROLL):
+                lb, ub = next(lab_it), next(unlab_it)
+                batches.append({
+                    "labeled_image": jnp.asarray(pack_array(lb["image"])),
+                    "labeled_target": jnp.asarray(pack_array(lb["target"])),
+                    "unlabeled_image": jnp.asarray(pack_array(ub["image"])),
+                    "unlabeled_partition": jnp.asarray(ub["partition"]),
+                    "unlabeled_scan_id": jnp.asarray(ub["scan_id"]),
+                    "unlabeled_patient": jnp.asarray(ub["patient"]),
+                    "unlabeled_cycle": jnp.asarray(ub["cycle"]),
+                })
+            yield stack_batches(batches)
+
+    depth = prefetch_depth()
+    feed = iter(DevicePrefetcher(produce(), depth=depth)
+                if depth else produce())
+
     def call(s):
-        batches = []
-        for _ in range(UNROLL):
-            lb, ub = next(lab_it), next(unlab_it)
-            batches.append({
-                "labeled_image": jnp.asarray(lb["image"]),
-                "labeled_target": jnp.asarray(lb["target"]),
-                "unlabeled_image": jnp.asarray(ub["image"]),
-                "unlabeled_partition": jnp.asarray(ub["partition"]),
-                "unlabeled_scan_id": jnp.asarray(ub["scan_id"]),
-                "unlabeled_patient": jnp.asarray(ub["patient"]),
-                "unlabeled_cycle": jnp.asarray(ub["cycle"]),
-            })
         rngs = jax.random.split(jax.random.PRNGKey(next(counter)), UNROLL)
-        s, _ = step(s, stack_batches(batches), rngs, epoch)
+        s, _ = step(s, next(feed), rngs, epoch)
         return s
 
     return _timed(call, max(MEASURE_CALLS // 2, 5), state)

@@ -94,9 +94,10 @@ class Resize(HostTransform):
 
     def __call__(self, image, label, rng):
         th, tw = self._size
+        from ..data.wire import normalize_u8
         img = Image.fromarray((np.clip(image, 0, 1) * 255).astype(np.uint8))
-        image = np.asarray(img.resize((tw, th), Image.BILINEAR),
-                           dtype=np.float32) / 255.0
+        image = normalize_u8(np.asarray(img.resize((tw, th), Image.BILINEAR),
+                                        dtype=np.uint8))
         if label is not None:
             lab = Image.fromarray(label.astype(np.uint8))
             label = np.asarray(lab.resize((tw, th), Image.NEAREST),

@@ -189,7 +189,8 @@ class SliceDataset:
         stem = get_stem(self._memory[self._sub_folders[0]][index])
 
         arrays = {sub: self._raw(sub, index) for sub in self._sub_folders}
-        image = arrays[self._sub_folders[0]].astype(np.float32) / 255.0
+        from .wire import normalize_u8
+        image = normalize_u8(arrays[self._sub_folders[0]])
         # first non-image folder is the target; extra folders (superpixel) kept
         target = None
         extras = {}

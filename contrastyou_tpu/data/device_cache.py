@@ -42,8 +42,16 @@ class DeviceDataCache:
                  scan_names: t.Sequence[str], crop: int):
         n, h, w = images.shape
         assert crop <= h and crop <= w, (crop, h, w)
-        self._images = jnp.asarray(images, jnp.float32)
-        self._targets = jnp.asarray(targets, jnp.int32)
+        # u8 wire staging (data/wire.py): slices are exact k/255 grids, so
+        # the cache can live in HBM as uint8 (4x smaller stage transfer +
+        # resident footprint); sample() restores f32/255 after the crop —
+        # bit-identical to staging f32
+        from .wire import pack_array
+        imgs = pack_array(np.ascontiguousarray(images, np.float32))
+        tgts = pack_array(np.ascontiguousarray(targets, np.int64))
+        self._images = jnp.asarray(imgs)
+        self._targets = (jnp.asarray(tgts) if tgts.dtype != np.int64
+                         else jnp.asarray(targets, jnp.int32))
         self._partition = jnp.asarray(partition, jnp.int32)
         self._patient = jnp.asarray(patient, jnp.int32)
         self._cycle = jnp.asarray(cycle, jnp.int32)
@@ -83,7 +91,8 @@ class DeviceDataCache:
         scan_index: dict[str, int] = {}
         from .base import get_stem
         for i in range(n):
-            img = dataset._raw(image_sub, i).astype(np.float32) / 255.0  # noqa: SLF001
+            from .wire import normalize_u8
+            img = normalize_u8(dataset._raw(image_sub, i))  # noqa: SLF001
             tgt = (dataset._raw(target_sub, i).astype(np.int32)  # noqa: SLF001
                    if target_sub else np.zeros(img.shape, np.int32))
             images.append(img)
@@ -180,11 +189,12 @@ class DeviceDataCache:
             crop_fn = (_crop_matmul if _mxu_crop_enabled() else _crop_slices)
             img, tgt = crop_fn(self._images[idx], self._targets[idx],
                                oy, ox, c)
-        return self._constrain(
+        from .wire import unwire
+        return self._constrain(unwire(
             {"image": img[..., None], "target": tgt,
              "partition": self._partition[idx],
              "patient": self._patient[idx], "cycle": self._cycle[idx],
-             "scan_id": self._scan_id[idx]})
+             "scan_id": self._scan_id[idx]}))
 
 
 def _mxu_crop_enabled() -> bool:

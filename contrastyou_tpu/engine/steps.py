@@ -79,6 +79,12 @@ def build_train_step(bundle: ModelBundle, optimizer,
 
     def loss_fn(trainables, batch_stats, hook_states, batch, rng, epoch):
         params, hook_params = trainables
+        # u8 wire format: host-fed batches may arrive uint8-packed
+        # (data/wire.py) — restore f32/255 images + int32 targets in-graph
+        # (bit-identical to an f32 transfer; the scan body also carries the
+        # packed bytes, so unrolled steps keep the smaller HBM footprint)
+        from ..data.wire import unwire
+        batch = unwire(batch)
         labeled_image = batch["labeled_image"]
         labeled_target = batch["labeled_target"]
 
@@ -328,6 +334,9 @@ def build_scanned_eval_step(bundle: ModelBundle, *,
     transform = prob_transform or (lambda p: p)
 
     def one_batch(params, batch_stats, image, target, mask):
+        from ..data.wire import unwire
+        wired = unwire({"image": image, "target": target})
+        image, target = wired["image"], wired["target"]
         logits, _ = bundle.apply_eval(params, batch_stats, image)
         probs = transform(jax.nn.softmax(logits, axis=-1))
         onehot = jax.nn.one_hot(target, num_classes)
@@ -383,6 +392,9 @@ def build_eval_step(bundle: ModelBundle, *,
 
     @jax.jit
     def eval_step(params, batch_stats, image, target, mask):
+        from ..data.wire import unwire
+        wired = unwire({"image": image, "target": target})
+        image, target = wired["image"], wired["target"]
         if tta:
             probs = tta_probs(bundle, params, batch_stats, image, transform)
         else:

@@ -238,16 +238,21 @@ class Trainer:
     # --- device transfer ------------------------------------------------
     def _device_batches(self, labeled: dict, unlabeled: dict | None, *,
                         shard: bool = True) -> dict:
-        out = {"labeled_image": jnp.asarray(labeled["image"]),
-               "labeled_target": jnp.asarray(labeled["target"])}
+        # u8 wire packing (data/wire.py): ship images/targets as uint8 when
+        # lossless — the tunnel runs ~50 MB/s, so wire bytes gate the
+        # host-fed path; the jitted step unwires in-graph
+        from ..data.wire import pack_array as pk
+        out = {"labeled_image": jnp.asarray(pk(labeled["image"])),
+               "labeled_target": jnp.asarray(pk(labeled["target"]))}
         if unlabeled is not None:
-            out["unlabeled_image"] = jnp.asarray(unlabeled["image"])
+            out["unlabeled_image"] = jnp.asarray(pk(unlabeled["image"]))
             out["unlabeled_partition"] = jnp.asarray(unlabeled["partition"])
             out["unlabeled_scan_id"] = jnp.asarray(unlabeled["scan_id"])
             out["unlabeled_patient"] = jnp.asarray(unlabeled["patient"])
             out["unlabeled_cycle"] = jnp.asarray(unlabeled["cycle"])
             if "superpixel" in unlabeled:
-                out["unlabeled_superpixel"] = jnp.asarray(unlabeled["superpixel"])
+                out["unlabeled_superpixel"] = jnp.asarray(
+                    pk(unlabeled["superpixel"]))
         if shard and self._mesh is not None:
             from ..parallel import shard_batch
             out = shard_batch(out, self._mesh)
@@ -312,12 +317,47 @@ class Trainer:
                 hook_meters[hook.name] = meters.register_meter(
                     "metrics", AverageValueDictionaryMeter())
 
-        if not self._device_cache:
-            labeled_iter, unlabeled_iter = self._train_iterators()
         rng = jax.random.fold_in(jax.random.PRNGKey(self._seed), 10_000 + epoch)
         epoch_arr = jnp.int32(epoch)
         K = self._unroll
         num_calls = max(self._num_batches // K, 1)
+        if not self._device_cache:
+            labeled_iter, unlabeled_iter = self._train_iterators()
+
+            def _produce():
+                """(device batch, scan names) per step call — packing +
+                device_put happen HERE so DevicePrefetcher overlaps the
+                tunnel transfer with the running step (VERDICT r3 #7)."""
+                from .steps import stack_batches
+                for _ in range(num_calls):
+                    if K == 1:
+                        labeled = next(labeled_iter)
+                        unlabeled = (next(unlabeled_iter)
+                                     if unlabeled_iter else None)
+                        yield (self._device_batches(labeled, unlabeled),
+                               labeled["scan"])
+                    else:
+                        host_batches, scan_names = [], []
+                        for _j in range(K):
+                            labeled = next(labeled_iter)
+                            unlabeled = (next(unlabeled_iter)
+                                         if unlabeled_iter else None)
+                            host_batches.append(self._device_batches(
+                                labeled, unlabeled, shard=False))
+                            scan_names.extend(labeled["scan"])
+                        stacked = stack_batches(host_batches)
+                        if self._mesh is not None:
+                            # leading axis is the [K] step axis; the
+                            # per-step batch axis (dim 1) is sharded
+                            from ..parallel import shard_batch
+                            stacked = shard_batch(stacked, self._mesh,
+                                                  batch_dim=1)
+                        yield stacked, scan_names
+
+            from ..data.wire import DevicePrefetcher, prefetch_depth
+            depth = prefetch_depth()
+            feed = iter(DevicePrefetcher(_produce(), depth=depth)
+                        if depth else _produce())
         if K > 1 and self._num_batches % K:
             logger.warning(
                 f"num_batches={self._num_batches} not divisible by "
@@ -378,34 +418,17 @@ class Trainer:
                     if it == 0:
                         log_figures(metrics)
                 elif K == 1:
-                    labeled = next(labeled_iter)
-                    unlabeled = next(unlabeled_iter) if unlabeled_iter else None
-                    batch = self._device_batches(labeled, unlabeled)
+                    batch, scans = next(feed)
                     step_rng = jax.random.fold_in(rng, it)
                     self._state, metrics = self._train_step(
                         self._state, batch, step_rng, epoch_arr)
-                    ingest(metrics, labeled["scan"], 1)
+                    ingest(metrics, scans, 1)
                     if it == 0:
                         log_figures(metrics)
                 else:
-                    from .steps import stack_batches
-                    host_batches, scan_names = [], []
-                    for j in range(K):
-                        labeled = next(labeled_iter)
-                        unlabeled = (next(unlabeled_iter)
-                                     if unlabeled_iter else None)
-                        host_batches.append(self._device_batches(
-                            labeled, unlabeled, shard=False))
-                        scan_names.extend(labeled["scan"])
+                    stacked, scan_names = next(feed)
                     rngs = jnp.stack([jax.random.fold_in(rng, it * K + j)
                                       for j in range(K)])
-                    stacked = stack_batches(host_batches)
-                    if self._mesh is not None:
-                        # leading axis is the [K] step axis; the per-step
-                        # batch axis (dim 1) is the one sharded over data
-                        from ..parallel import shard_batch
-                        stacked = shard_batch(stacked, self._mesh,
-                                              batch_dim=1)
                     self._state, metrics = self._train_step(
                         self._state, stacked, rngs, epoch_arr)
                     ingest(metrics, scan_names, K)
@@ -480,8 +503,9 @@ class Trainer:
                              "scan": [None] * len(pad["scan"])}
                     chunk = chunk + [zeros] * (K - n_real)
                     names += [None] * ((K - n_real) * len(pad["scan"]))
-                images = jnp.asarray(np.stack([b["image"] for b in chunk]))
-                targets = jnp.asarray(np.stack([b["target"] for b in chunk]))
+                from ..data.wire import pack_array as pk
+                images = jnp.asarray(pk(np.stack([b["image"] for b in chunk])))
+                targets = jnp.asarray(pk(np.stack([b["target"] for b in chunk])))
                 masks = jnp.asarray(np.stack([b["mask"] for b in chunk]))
                 if (self._mesh is not None
                         and images.shape[1] % self._data_axis_size() == 0):

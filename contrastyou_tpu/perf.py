@@ -58,6 +58,12 @@ KNOBS: Dict[str, str] = {
     "IIC_BF16": "1",        # bf16 feature path into the IIC loss
     "NCE_BF16": "1",        # bf16 feature warp in dense InfoNCE
     "FAST_WARP": "",        # "" auto: two-pass nearest warp on TPU
+    # host->device input pipeline (data/wire.py)
+    "WIRE_U8": "1",         # pack f32 k/255 images + small ints as u8/u16
+                            # on the wire (lossless-or-fallback; the tunnel
+                            # runs ~50 MB/s so bytes are the bottleneck)
+    "DEVICE_PREFETCH": "2",  # device-side prefetch depth for host-fed
+                             # training (0 disables the pipeline thread)
     # measured-off experiments kept for re-measurement
     "MXU_BN": "0",          # BN reductions as MXU matmuls
     "MXU_CROP": "0",        # one-hot-matmul random crop

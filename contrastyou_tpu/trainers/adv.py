@@ -56,6 +56,8 @@ def build_adversarial_step(bundle: ModelBundle, disc: Discriminator,
         return probs
 
     def gen_loss_fn(params, batch_stats, disc_params, disc_stats, batch):
+        from ..data.wire import unwire
+        batch = unwire(batch)  # u8 wire format (data/wire.py)
         (labeled_logits, _), batch_stats = bundle.apply_train(
             params, batch_stats, batch["labeled_image"])
         onehot = jax.nn.one_hot(batch["labeled_target"], num_classes)
@@ -82,6 +84,8 @@ def build_adversarial_step(bundle: ModelBundle, disc: Discriminator,
 
     def disc_loss_fn(disc_params, disc_stats, batch, labeled_probs,
                      unlabeled_probs):
+        from ..data.wire import unwire
+        batch = unwire(batch)
         out_l, mut = disc.apply(
             {"params": disc_params, "batch_stats": disc_stats},
             disc_input(batch["labeled_image"], labeled_probs),
@@ -190,20 +194,31 @@ class AdversarialTrainer(Trainer):
         labeled_iter, unlabeled_iter = self._train_iterators()
         indicator = Indicator(range(self._num_batches))
         indicator.set_description(f"adv {epoch:03d}")
-        with meters:
-            for _ in indicator:
+        from ..data.wire import DevicePrefetcher, pack_array, prefetch_depth
+
+        def _produce():
+            for _ in range(self._num_batches):
                 labeled = next(labeled_iter)
                 unlabeled = next(unlabeled_iter)
-                batch = {
-                    "labeled_image": jnp.asarray(labeled["image"]),
-                    "labeled_target": jnp.asarray(labeled["target"]),
-                    "unlabeled_image": jnp.asarray(unlabeled["image"]),
-                }
+                yield {
+                    "labeled_image": jnp.asarray(pack_array(labeled["image"])),
+                    "labeled_target": jnp.asarray(
+                        pack_array(labeled["target"])),
+                    "unlabeled_image": jnp.asarray(
+                        pack_array(unlabeled["image"])),
+                }, labeled["scan"]
+
+        depth = prefetch_depth()
+        feed = iter(DevicePrefetcher(_produce(), depth=depth)
+                    if depth else _produce())
+        with meters:
+            for _ in indicator:
+                batch, scans = next(feed)
                 self._adv_state, metrics = self._adv_step(self._adv_state, batch)
                 meters.add("sup_loss", metrics["sup_loss"])
                 meters["sup_dice"].add_counts(metrics["dice_inter"],
                                               metrics["dice_union"],
-                                              group_name=labeled["scan"])
+                                              group_name=scans)
                 with meters.focus_on("adv_reg"):
                     meters.add("dis_loss", metrics["dis_loss"])
                     meters.add("gen_loss", metrics["gen_loss"])

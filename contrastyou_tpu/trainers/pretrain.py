@@ -60,6 +60,8 @@ def build_pretrain_step(bundle, optimizer, hooks: t.Sequence[TrainerHook], *,
 
     def loss_fn(trainables, batch_stats, hook_states, batch, rng, epoch):
         params, hook_params = trainables
+        from ..data.wire import unwire
+        batch = unwire(batch)  # u8 wire format (data/wire.py)
         image = batch["image"]
         k1, k2, k_geo, k_int, k_hook, kj1, kj2 = jax.random.split(rng, 7)
         if total_freedom:
@@ -252,13 +254,14 @@ class PretrainEncoderTrainer(Trainer):
         return label_fn
 
     def _device_contrast_batch(self, batch: dict) -> dict:
-        out = {"image": jnp.asarray(batch["image"]),
+        from ..data.wire import pack_array as pk
+        out = {"image": jnp.asarray(pk(batch["image"])),
                "partition": jnp.asarray(batch["partition"]),
                "scan_id": jnp.asarray(batch["scan_id"]),
                "patient": jnp.asarray(batch["patient"]),
                "cycle": jnp.asarray(batch["cycle"])}
         if "superpixel" in batch:
-            out["superpixel"] = jnp.asarray(batch["superpixel"])
+            out["superpixel"] = jnp.asarray(pk(batch["superpixel"]))
         return out
 
     def _start_training(self) -> float:
@@ -292,9 +295,18 @@ class PretrainEncoderTrainer(Trainer):
         epoch_arr = jnp.int32(epoch)
         indicator = Indicator(range(self._num_batches))
         indicator.set_description(f"pretrain {epoch:03d}")
+        from ..data.wire import DevicePrefetcher, prefetch_depth
+
+        def _produce():
+            for _ in range(self._num_batches):
+                yield self._device_contrast_batch(next(it_loader))
+
+        depth = prefetch_depth()
+        feed = iter(DevicePrefetcher(_produce(), depth=depth)
+                    if depth else _produce())
         with meters:
             for it in indicator:
-                batch = self._device_contrast_batch(next(it_loader))
+                batch = next(feed)
                 self._state, metrics = self._pretrain_step(
                     self._state, batch, jax.random.fold_in(rng, it), epoch_arr)
                 meters.add("reg_loss", metrics["reg_loss"])

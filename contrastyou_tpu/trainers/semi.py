@@ -52,11 +52,13 @@ class SemiTrainer(Trainer):
             eval_step = build_eval_step(
                 self._bundle, prob_transform=self._prob_transform,
                 target_num_classes=self._target_num_classes, tta=True)
+        from ..data.wire import pack_array as pk
         with meters:
             for batch in loader:
                 loss, pred, inter, union = eval_step(
-                    params, batch_stats, jnp.asarray(batch["image"]),
-                    jnp.asarray(batch["target"]), jnp.asarray(batch["mask"]))
+                    params, batch_stats, jnp.asarray(pk(batch["image"])),
+                    jnp.asarray(pk(batch["target"])),
+                    jnp.asarray(batch["mask"]))
                 meters.add("loss", loss)
                 dice.add_counts(inter, union, group_name=batch["scan"])
                 asd.add(np.asarray(pred), batch["target"],

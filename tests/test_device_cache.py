@@ -36,9 +36,11 @@ def test_cache_staging_and_metadata(dataset):
     cache = DeviceDataCache.from_dataset(dataset, crop=CROP)
     assert len(cache) == len(dataset)
     assert cache.crop == CROP
-    # raw normalization matches the host path ([0, 1] floats)
-    assert float(cache._images.max()) <= 1.0
-    assert cache._images.dtype == jnp.float32
+    # staged as u8 wire format (data/wire.py) — sample() restores f32/255
+    assert cache._images.dtype == jnp.uint8
+    sampled = cache.sample(jax.random.PRNGKey(0), 2)
+    assert sampled["image"].dtype == jnp.float32
+    assert float(sampled["image"].max()) <= 1.0
     # every item's scan id indexes its scan name
     item0 = dataset[0]
     assert cache.scan_names[int(cache._scan_id[0])] == item0["scan"]
