@@ -48,6 +48,13 @@ OUT = REPO / "tools" / "baseline_out"
 CFG = dict(size=64, crop=64, max_channel=128, batch=5, num_classes=4,
            lr=1e-4, weight_decay=1e-5, bn_momentum=0.1, seed=7,
            labeled_scans=4, val_scans=3, slices=8)
+# udaiic preset weights (config/hooks/udaiic.yaml == the reference's):
+# consistency 1.0 + IIC@Conv5 0.1 + dense IIC@Up_conv2 0.05 (padding 1)
+UDAIIC = dict(cons_w=1.0, enc_w=0.1, dense_w=0.05, padding=1, K=20, S=5)
+# pretrain->ft chain: encoder InfoNCE@Conv5 (mlp 256/256 projector,
+# normalized, SupCon target = partition labels — config/hooks/infonce.yaml
+# contrast_ons: partition), then supervised finetune from the result
+PRETRAIN = dict(steps=300, weight=1.0, temperature=0.07)
 TIMING_CFG = dict(size=224, crop=224, max_channel=512, batch=5,
                   num_classes=4, lr=1e-7, weight_decay=1e-5,
                   bn_momentum=0.01, seed=7, labeled_scans=2, val_scans=1,
@@ -78,21 +85,33 @@ def make_data(cfg):
     val = ACDCDataset(root_dir=str(root), mode="val", transforms=None)
 
     def load(ds):
+        from contrastyou_tpu.data.wire import normalize_u8
         imgs, tgts, scans = [], [], []
         subs = ds._sub_folders
         tsub = next(s for s, im in zip(subs[1:], ds._is_image[1:]) if not im)
         from contrastyou_tpu.data.base import get_stem
         for i in range(len(ds)):
-            imgs.append(ds._raw(subs[0], i).astype(np.float32) / 255.0)
+            imgs.append(normalize_u8(ds._raw(subs[0], i)))
             tgts.append(ds._raw(tsub, i).astype(np.int64))
             scans.append(ds.get_scan_name(get_stem(ds._memory[subs[0]][i])))
-        return np.stack(imgs), np.stack(tgts), scans
+        # 3-way positional partition per scan (the reference ContrastDataset
+        # partition notion, semi_seg/data/dataset.py) — used as the InfoNCE
+        # contrast_on=partition label on BOTH sides
+        seen: dict = {}
+        part = []
+        for s in scans:
+            seen[s] = seen.get(s, 0) + 1
+            part.append(seen[s] - 1)
+        per_scan = {s: n for s, n in seen.items()}
+        part = np.asarray([p * 3 // per_scan[s]
+                           for p, s in zip(part, scans)], np.int64)
+        return np.stack(imgs), np.stack(tgts), scans, part
 
     return load(tra), load(val)
 
 
-def batch_sequence(n_items, cfg, steps):
-    rng = np.random.default_rng(cfg["seed"])
+def batch_sequence(n_items, cfg, steps, seed_offset: int = 0):
+    rng = np.random.default_rng(cfg["seed"] + seed_offset)
     return rng.integers(0, n_items, size=(steps, cfg["batch"]))
 
 
@@ -141,6 +160,20 @@ def _with_stubs(action):
     raise RuntimeError("could not satisfy reference imports")
 
 
+def _preload_midl():
+    """discreteMI <-> semi_seg.hooks are circular (discreteMI imports
+    semi_seg.hooks.midl, hooks/cc.py imports discreteMI back); pre-load
+    midl.py standalone under its dotted name to break the cycle (same
+    workaround as tests/test_reference_parity.py:98-106)."""
+    if "semi_seg.hooks.midl" not in sys.modules:
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "semi_seg.hooks.midl", f"{REFERENCE_ROOT}/semi_seg/hooks/midl.py")
+        midl = importlib.util.module_from_spec(spec)
+        sys.modules["semi_seg.hooks.midl"] = midl
+        _with_stubs(lambda: spec.loader.exec_module(midl))
+
+
 def load_reference():
     if "loguru" not in sys.modules:
         loguru = types.ModuleType("loguru")
@@ -160,12 +193,51 @@ def _init_archive(cfg) -> Path:
         f"init_c{cfg['max_channel']}_s{cfg['seed']}.npz")
 
 
+def _udaiic_proj_archive(cfg) -> Path:
+    return Path("/tmp/baseline_data") / (
+        f"proj_udaiic_c{cfg['max_channel']}_s{cfg['seed']}.npz")
+
+
+def _nce_proj_archive(cfg) -> Path:
+    return Path("/tmp/baseline_data") / (
+        f"proj_nce_c{cfg['max_channel']}_s{cfg['seed']}.npz")
+
+
+def _export_udaiic_projectors(cfg, enc_proj, dense_proj, K, S):
+    """torch projector inits -> the jax hook param layout.
+
+    ClusterHead linear subhead = Sequential(pool, Flatten, Linear, ...) ->
+    jax Vmap_SubHead_0/Dense_0 kernel [S, C, K]; DenseClusterHead linear =
+    Sequential(Conv2d(C,K,1), ...) -> Vmap_DenseSubHead_0/Conv_0 kernel
+    [S, 1, 1, C, K]."""
+    ew = np.stack([enc_proj._headers[i][2].weight.detach().numpy().T
+                   for i in range(S)])                        # [S, C, K]
+    eb = np.stack([enc_proj._headers[i][2].bias.detach().numpy()
+                   for i in range(S)])                        # [S, K]
+    dw = np.stack([dense_proj._headers[i][0].weight.detach()
+                   .numpy()[:, :, 0, 0].T for i in range(S)])  # [S, C, K]
+    db = np.stack([dense_proj._headers[i][0].bias.detach().numpy()
+                   for i in range(S)])
+    np.savez(_udaiic_proj_archive(cfg), enc_kernel=ew, enc_bias=eb,
+             dense_kernel=dw[:, None, None], dense_bias=db)
+
+
+def _export_nce_projector(cfg, proj):
+    """ProjectionHead mlp = Sequential(pool, Flatten, Linear(C,256),
+    LeakyReLU, Linear(256,256), Normalize) -> jax Dense_0/Dense_1."""
+    np.savez(_nce_proj_archive(cfg),
+             k0=proj._header[2].weight.detach().numpy().T,
+             b0=proj._header[2].bias.detach().numpy(),
+             k1=proj._header[4].weight.detach().numpy().T,
+             b1=proj._header[4].bias.detach().numpy())
+
+
 def run_ref(cfg, what, steps, eval_every):
     import torch
     torch.manual_seed(cfg["seed"])
     torch.set_num_threads(os.cpu_count() or 1)
     arch, kl = load_reference()
-    (timg, ttgt, tscan), (vimg, vtgt, vscan) = make_data(cfg)
+    (timg, ttgt, tscan, tpart), (vimg, vtgt, vscan, _) = make_data(cfg)
     model = arch.UNet(input_dim=1, num_classes=cfg["num_classes"],
                       max_channel=cfg["max_channel"],
                       momentum=cfg["bn_momentum"])
@@ -180,6 +252,58 @@ def run_ref(cfg, what, steps, eval_every):
                             weight_decay=cfg["weight_decay"])
     teacher = None
     ema = None
+    aux = {}
+    if what == "udaiic":
+        _preload_midl()
+        heads = _with_stubs(lambda: importlib.import_module(
+            "contrastyou.projectors.heads"))
+        dmi = _with_stubs(lambda: importlib.import_module(
+            "contrastyou.losses.discreteMI"))
+        autils = _with_stubs(lambda: importlib.import_module(
+            "contrastyou.arch.utils"))
+        K, S = UDAIIC["K"], UDAIIC["S"]
+        torch.manual_seed(cfg["seed"] + 100)   # projector init stream
+        enc_proj = heads.ClusterHead(
+            input_dim=model.get_channel_dim("Conv5"), num_clusters=K,
+            num_subheads=S, head_type="linear", T=1, normalize=False)
+        dense_proj = heads.DenseClusterHead(
+            input_dim=model.get_channel_dim("Up_conv2"), num_clusters=K,
+            num_subheads=S, head_type="linear", T=1, normalize=False)
+        _export_udaiic_projectors(cfg, enc_proj, dense_proj, K, S)
+        enc_crit_raw = dmi.IIDLoss()
+        dense_crit = dmi.IIDSegmentationLoss(padding=UDAIIC["padding"])
+        ext5 = autils.SingleFeatureExtractor(model, feature_name="Conv5")
+        ext2 = autils.SingleFeatureExtractor(model, feature_name="Up_conv2")
+        ext5.bind()
+        ext2.bind()
+        opt = torch.optim.RAdam(
+            list(model.parameters()) + list(enc_proj.parameters())
+            + list(dense_proj.parameters()),
+            lr=cfg["lr"], weight_decay=cfg["weight_decay"])
+        aux = dict(enc_proj=enc_proj, dense_proj=dense_proj,
+                   enc_crit=lambda a, b: enc_crit_raw(a, b)[0],
+                   dense_crit=dense_crit, ext5=ext5, ext2=ext2)
+    if what == "pretrain":
+        heads = _with_stubs(lambda: importlib.import_module(
+            "contrastyou.projectors.heads"))
+        contrastive = _with_stubs(lambda: importlib.import_module(
+            "contrastyou.losses.contrastive"))
+        autils = _with_stubs(lambda: importlib.import_module(
+            "contrastyou.arch.utils"))
+        torch.manual_seed(cfg["seed"] + 100)
+        nce_proj = heads.ProjectionHead(
+            input_dim=model.get_channel_dim("Conv5"), hidden_dim=256,
+            output_dim=256, head_type="mlp", normalize=True)
+        _export_nce_projector(cfg, nce_proj)
+        ext5 = autils.SingleFeatureExtractor(model, feature_name="Conv5")
+        ext5.bind()
+        nce_opt = torch.optim.RAdam(
+            list(model.parameters()) + list(nce_proj.parameters()),
+            lr=cfg["lr"], weight_decay=cfg["weight_decay"])
+        nce_crit = contrastive.SupConLoss1(
+            temperature=PRETRAIN["temperature"])
+        aux = dict(nce_proj=nce_proj, nce_opt=nce_opt, nce_crit=nce_crit,
+                   ext5=ext5)
     if what == "mt":
         import copy
         mt_mod = _with_stubs(lambda: importlib.import_module(
@@ -212,6 +336,41 @@ def run_ref(cfg, what, steps, eval_every):
         return m.summary()["DSC_mean"]
 
     model.train()
+    if what == "pretrain":
+        # phase 1: encoder InfoNCE on Conv5 (truncated forward), pinned
+        # W-flip second view, SupCon target = partition labels — the
+        # reference pretrain epocher shape (semi_seg/trainers/pretrain.py:
+        # 57-79 + hooks/infonce.py:196-249); then the main loop below
+        # finetunes the SAME model with a fresh optimizer.
+        pidx = batch_sequence(len(timg), cfg, PRETRAIN["steps"],
+                              seed_offset=50)
+        for it in range(PRETRAIN["steps"]):
+            u = torch.from_numpy(timg[pidx[it]]).unsqueeze(1)
+            part = torch.from_numpy(tpart[pidx[it]])
+            u_tf = torch.flip(u, [-1])
+            aux["nce_opt"].zero_grad()
+            aux["ext5"].clear()
+            aux["ext5"].set_enable(True)
+            model(torch.cat([u, u_tf], 0), until="Conv5")
+            aux["ext5"].set_enable(False)
+            f = aux["ext5"].feature()[-2 * u.shape[0]:]
+            fu, futf = torch.chunk(f, 2, 0)
+            z = aux["nce_proj"](torch.cat([torch.flip(fu, [-1]), futf], 0))
+            z1, z2 = torch.chunk(z, 2, 0)
+            loss = PRETRAIN["weight"] * aux["nce_crit"](z1, z2, target=part)
+            loss.backward()
+            aux["nce_opt"].step()
+            if (it + 1) % 100 == 0:
+                print(f"[ref pretrain] step {it+1}: nce={float(loss):.4f}")
+        aux["ext5"].remove()
+        # export the POST-pretrain torch weights: the jax side's
+        # `--what pretrain_xenc` finetunes from THIS encoder, separating
+        # accumulated pretrain drift from ft-semantics drift
+        from contrastyou_tpu.utils.torch_convert import (
+            convert_unet_state_dict, save_npz_tree)
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        save_npz_tree(str(_init_archive(cfg)).replace(
+            ".npz", "_posttrain.npz"), convert_unet_state_dict(sd))
     curve = []
     t_accum, n_timed = 0.0, 0
     for it in range(steps):
@@ -219,8 +378,39 @@ def run_ref(cfg, what, steps, eval_every):
         y = torch.from_numpy(ttgt[idxs[it]])
         t0 = time.perf_counter()
         opt.zero_grad()
+        if what == "udaiic":
+            for e in (aux["ext5"], aux["ext2"]):
+                e.clear()
+                e.set_enable(True)
         logits = model(x)
         loss = crit(logits.softmax(1), onehot(y))
+        if what == "udaiic":
+            import torch.nn.functional as F
+            n = x.shape[0]
+            u, u_tf = x, torch.flip(x, [-1])
+            both = model(torch.cat([u, u_tf], 0))
+            for e in (aux["ext5"], aux["ext2"]):
+                e.set_enable(False)
+            su, sutf = torch.chunk(both, 2, 0)
+            # consistency (semi_seg/hooks/consistency.py:31-39): MSE of the
+            # tf-view probs against the detached transformed view-1 probs
+            prob_tf = torch.flip(su.softmax(1), [-1]).detach()
+            cons = F.mse_loss(prob_tf, sutf.softmax(1))
+            f5 = aux["ext5"].feature()[-2 * n:]
+            f2 = aux["ext2"].feature()[-2 * n:]
+            f5u, f5utf = torch.chunk(f5, 2, 0)
+            f2u, f2utf = torch.chunk(f2, 2, 0)
+            enc_probs = aux["enc_proj"](
+                torch.cat([torch.flip(f5u, [-1]), f5utf], 0))
+            enc_mi = sum(aux["enc_crit"](p[:n], p[n:])
+                         for p in enc_probs) / len(enc_probs)
+            dense_probs = aux["dense_proj"](
+                torch.cat([torch.flip(f2u, [-1]), f2utf], 0))
+            dense_mi = sum(aux["dense_crit"](p[:n], p[n:])
+                           for p in dense_probs) / len(dense_probs)
+            loss = (loss + UDAIIC["cons_w"] * cons
+                    + UDAIIC["enc_w"] * enc_mi
+                    + UDAIIC["dense_w"] * dense_mi)
         if what == "mt":
             # the reference's real two-stage semi shape (epocher.py:264-377 +
             # hooks/mt.py): student fwd on cat(unlabeled, unlabeled_tf),
@@ -247,6 +437,7 @@ def run_ref(cfg, what, steps, eval_every):
             n_timed += 1
         if eval_every and (it + 1) % eval_every == 0:
             curve.append((it + 1, float(evaluate())))
+            print(f"[ref {what}] step {it+1}: loss={float(loss):.5f}")
             print(f"[ref {what}] step {it+1}: dice={curve[-1][1]:.4f} "
                   f"({n_timed / max(t_accum, 1e-9):.3f} steps/s)")
     return dict(side="ref", what=what, config=cfg, steps=steps,
@@ -269,12 +460,13 @@ def run_jax(cfg, what, steps, eval_every):
     from contrastyou_tpu.meters import UniversalDice
     from contrastyou_tpu.models import UNet
 
-    if what == "mt":
+    if what in ("mt", "udaiic", "pretrain"):
         # match the torch harness's flip view exactly: pin the two-view
         # transform to a deterministic W-flip with no intensity jitter, so
         # both sides solve the same consistency task (the full affine+gamma
         # pipeline is the production default — measured separately)
         import contrastyou_tpu.engine.steps as steps_mod
+        import contrastyou_tpu.trainers.pretrain as pretrain_mod
         from contrastyou_tpu.ops import affine as aff
 
         def flip_geo(key, batch, **kw):
@@ -283,37 +475,127 @@ def run_jax(cfg, what, steps, eval_every):
                                  ty=z, flip_h=jnp.zeros((batch,), bool),
                                  flip_w=jnp.ones((batch,), bool))
 
-        steps_mod.sample_geo_params = flip_geo
-        steps_mod.transform_image = (
-            lambda img, geo, key: aff.apply_geometric(img, geo, order=0))
+        def flip_image(img, geo, key):
+            return aff.apply_geometric(img, geo, order=0)
 
-    (timg, ttgt, tscan), (vimg, vtgt, vscan) = make_data(cfg)
+        steps_mod.sample_geo_params = flip_geo
+        steps_mod.transform_image = flip_image
+        pretrain_mod.sample_geo_params = flip_geo
+        pretrain_mod.transform_image = flip_image
+
+    (timg, ttgt, tscan, tpart), (vimg, vtgt, vscan, _) = make_data(cfg)
     C = cfg["num_classes"]
     model = UNet(input_dim=1, num_classes=C, max_channel=cfg["max_channel"],
                  momentum=cfg["bn_momentum"], dtype=jnp.float32)
     bundle = ModelBundle.create(model, jax.random.PRNGKey(cfg["seed"]),
                                 (cfg["crop"], cfg["crop"], 1))
-    if _init_archive(cfg).exists():
+    init_path = _init_archive(cfg)
+    what_label = what
+    if what == "pretrain_xenc":
+        # ft from the TORCH side's post-pretrain encoder: isolates
+        # ft-semantics drift from accumulated pretrain weight drift
+        init_path = Path(str(init_path).replace(".npz", "_posttrain.npz"))
+        what = "ft"
+    if init_path.exists():
         from contrastyou_tpu.utils.torch_convert import load_npz_tree
-        tree = load_npz_tree(str(_init_archive(cfg)))
+        tree = load_npz_tree(str(init_path))
         bundle.params = jax.tree.map(jnp.asarray, tree["params"])
         bundle.batch_stats = jax.tree.map(jnp.asarray, tree["batch_stats"])
         print("[jax] warm-started from the torch reference init "
-              f"({_init_archive(cfg).name})")
+              f"({init_path.name})")
+    if what == "pretrain":
+        # phase 1: encoder InfoNCE@Conv5 from the SAME torch init, pinned
+        # flip view, matched partition labels + batch sequence; the
+        # pretrained encoder (params + BN stats) then seeds the ft loop
+        from contrastyou_tpu.hooks import INFONCEHook
+        from contrastyou_tpu.trainers.pretrain import build_pretrain_step
+        nce_hook = INFONCEHook(name="infonce", feature_name="Conv5",
+                               weight=PRETRAIN["weight"],
+                               contrast_on="partition",
+                               temperature=PRETRAIN["temperature"])
+        pre_opt, _ = create_optimizer(
+            {"name": "RAdam", "lr": cfg["lr"],
+             "weight_decay": cfg["weight_decay"]}, None,
+            max_epoch=1, steps_per_epoch=PRETRAIN["steps"])
+        pre_state = init_train_state(bundle, [nce_hook], pre_opt,
+                                     jax.random.PRNGKey(cfg["seed"] + 1))
+        z = np.load(_nce_proj_archive(cfg))
+        hp = {"infonce": {"Dense_0": {"kernel": jnp.asarray(z["k0"]),
+                                      "bias": jnp.asarray(z["b0"])},
+                          "Dense_1": {"kernel": jnp.asarray(z["k1"]),
+                                      "bias": jnp.asarray(z["b1"])}}}
+        assert (jax.tree.structure(hp)
+                == jax.tree.structure(pre_state.hook_params)), \
+            jax.tree.structure(pre_state.hook_params)
+        pre_state = pre_state.replace(
+            hook_params=hp, opt_state=pre_opt.init((pre_state.params, hp)))
+        print("[jax] pretrain projector warm-started from the torch init")
+        pstep = build_pretrain_step(bundle, pre_opt, [nce_hook],
+                                    until="Conv5", total_freedom=False,
+                                    color_jitter=0.0)
+        pidx = batch_sequence(len(timg), cfg, PRETRAIN["steps"],
+                              seed_offset=50)
+        prng = jax.random.PRNGKey(cfg["seed"] + 3)
+        zvec = jnp.zeros((cfg["batch"],), jnp.int32)
+        for it in range(PRETRAIN["steps"]):
+            pbatch = {"image": jnp.asarray(timg[pidx[it]])[..., None],
+                      "partition": jnp.asarray(
+                          tpart[pidx[it]].astype(np.int32)),
+                      "scan_id": zvec, "patient": zvec, "cycle": zvec}
+            pre_state, pm = pstep(pre_state, pbatch,
+                                  jax.random.fold_in(prng, it), jnp.int32(0))
+            if (it + 1) % 100 == 0:
+                print(f"[jax pretrain] step {it+1}: "
+                      f"nce={float(pm['reg_loss']):.4f}")
+        bundle.params = jax.tree.map(jnp.array, pre_state.params)
+        bundle.batch_stats = jax.tree.map(jnp.array, pre_state.batch_stats)
+
     hooks = []
     if what == "mt":
         hooks = [MeanTeacherTrainerHook(weight=0.1, alpha=MT_ALPHA)]
+    if what == "udaiic":
+        from contrastyou_tpu.hooks import (ConsistencyTrainerHook,
+                                           DiscreteMITrainHook)
+        hooks = [ConsistencyTrainerHook(weight=UDAIIC["cons_w"]),
+                 DiscreteMITrainHook(name="iic5", feature_name="Conv5",
+                                     weight=UDAIIC["enc_w"],
+                                     num_clusters=UDAIIC["K"],
+                                     num_subheads=UDAIIC["S"]),
+                 DiscreteMITrainHook(name="iic2", feature_name="Up_conv2",
+                                     weight=UDAIIC["dense_w"],
+                                     num_clusters=UDAIIC["K"],
+                                     num_subheads=UDAIIC["S"],
+                                     padding=UDAIIC["padding"])]
     optimizer, _ = create_optimizer(
         {"name": "RAdam", "lr": cfg["lr"],
          "weight_decay": cfg["weight_decay"]}, None,
         max_epoch=1, steps_per_epoch=steps)
     state = init_train_state(bundle, hooks, optimizer,
                              jax.random.PRNGKey(cfg["seed"] + 1))
+    if what == "udaiic":
+        z = np.load(_udaiic_proj_archive(cfg))
+        hp = dict(state.hook_params)
+        hp["iic5"] = {"Vmap_SubHead_0": {
+            "Dense_0": {"kernel": jnp.asarray(z["enc_kernel"]),
+                        "bias": jnp.asarray(z["enc_bias"])}}}
+        hp["iic2"] = {"Vmap_DenseSubHead_0": {
+            "Conv_0": {"kernel": jnp.asarray(z["dense_kernel"]),
+                       "bias": jnp.asarray(z["dense_bias"])}}}
+        assert (jax.tree.structure(hp)
+                == jax.tree.structure(state.hook_params)), \
+            jax.tree.structure(state.hook_params)
+        for a, b in zip(jax.tree.leaves(hp),
+                        jax.tree.leaves(state.hook_params)):
+            assert a.shape == b.shape, (a.shape, b.shape)
+        state = state.replace(
+            hook_params=hp, opt_state=optimizer.init((state.params, hp)))
+        print("[jax] udaiic projectors warm-started from the torch init")
     # disable_bn for mt: the affine-transformed view's zero borders pollute
     # BN running stats on short runs (the reference's own knob for this,
     # config Trainer.disable_bn; the torch loop's flip view has no borders)
-    step = build_train_step(bundle, optimizer, hooks, mode="ft"
-                            if what != "mt" else "semi", two_stage=True,
+    step = build_train_step(bundle, optimizer, hooks,
+                            mode="semi" if what in ("mt", "udaiic")
+                            else "ft", two_stage=True,
                             disable_bn=(what == "mt"))
     eval_step = build_eval_step(bundle)
 
@@ -342,7 +624,7 @@ def run_jax(cfg, what, steps, eval_every):
         batch = {"labeled_image": jnp.asarray(timg[idxs[it]])[..., None],
                  "labeled_target": jnp.asarray(
                      ttgt[idxs[it]].astype(np.int32))}
-        if what == "mt":
+        if what in ("mt", "udaiic"):
             batch["unlabeled_image"] = batch["labeled_image"]
             z = jnp.zeros((cfg["batch"],), jnp.int32)
             batch.update(unlabeled_partition=z, unlabeled_scan_id=z,
@@ -358,9 +640,12 @@ def run_jax(cfg, what, steps, eval_every):
             n_timed += 1
         if eval_every and (it + 1) % eval_every == 0:
             curve.append((it + 1, float(evaluate(state))))
+            tot = float(metrics.get("total_loss",
+                                    metrics.get("sup_loss", 0.0)))
+            print(f"[jax {what}] step {it+1}: loss={tot:.5f}")
             print(f"[jax {what}] step {it+1}: dice={curve[-1][1]:.4f} "
                   f"({n_timed / max(t_accum, 1e-9):.3f} steps/s)")
-    return dict(side="jax", what=what, config=cfg, steps=steps,
+    return dict(side="jax", what=what_label, config=cfg, steps=steps,
                 steps_per_s=n_timed / max(t_accum, 1e-9), dice_curve=curve)
 
 
@@ -375,7 +660,7 @@ def report():
         print(f"{r['side']}_{r['what']:<10} {r['steps_per_s']:>8.3f} "
               f"{d:>10.4f}")
     by = {(r["side"], r["what"]): r for r in rows}
-    for what in ("ft", "mt", "timing"):
+    for what in ("ft", "mt", "udaiic", "pretrain", "timing"):
         a, b = by.get(("jax", what)), by.get(("ref", what))
         if a and b:
             print(f"{what}: rebuild/reference steps/s ratio on this host = "
@@ -385,15 +670,26 @@ def report():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--side", choices=["ref", "jax"])
-    ap.add_argument("--what", choices=["ft", "mt", "timing"], default="ft")
+    ap.add_argument("--what",
+                    choices=["ft", "mt", "udaiic", "pretrain",
+                             "pretrain_xenc", "timing"],
+                    default="ft")
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--pretrain-steps", type=int, default=None,
+                    help="override PRETRAIN['steps'] (phase-1 length)")
     ap.add_argument("--eval-every", type=int, default=25)
     ap.add_argument("--report", action="store_true")
     args = ap.parse_args()
     if args.report:
         report()
         return
+    if args.side == "ref" and args.what == "pretrain_xenc":
+        raise SystemExit("pretrain_xenc is jax-side only: it finetunes from "
+                         "the torch run's exported post-pretrain encoder — "
+                         "compare against ref_pretrain's ft curve")
     cfg = TIMING_CFG if args.what == "timing" else CFG
+    if args.pretrain_steps:
+        PRETRAIN["steps"] = args.pretrain_steps
     steps = args.steps or (4 if args.what == "timing" else 150)
     eval_every = 0 if args.what == "timing" else args.eval_every
     fn = run_ref if args.side == "ref" else run_jax
