@@ -22,6 +22,12 @@ OPT_PATH = str(Path(PROJECT_PATH) / "opt")
 Path(DATA_PATH).mkdir(parents=True, exist_ok=True)
 Path(RUN_PATH).mkdir(parents=True, exist_ok=True)
 
+# Persistent XLA compile cache — the axon remote-compile tunnel makes cold
+# compiles minutes-long; must be configured before backend init (perf.py).
+from .perf import enable_compile_cache as _enable_compile_cache  # noqa: E402
+
+_enable_compile_cache()
+
 
 def get_git_hash_tag() -> str:
     """Current git short hash, for run provenance (ref: contrastyou/__init__.py:40)."""

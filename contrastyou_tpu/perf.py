@@ -16,7 +16,8 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Mapping
 
-__all__ = ["KNOBS", "get", "snapshot", "apply_config", "STRUCTURAL_KNOBS"]
+__all__ = ["KNOBS", "get", "snapshot", "apply_config", "STRUCTURAL_KNOBS",
+           "enable_compile_cache"]
 
 _PREFIX = "CONTRASTYOU_"
 
@@ -67,6 +68,9 @@ KNOBS: Dict[str, str] = {
     # measured-off experiments kept for re-measurement
     "MXU_BN": "0",          # BN reductions as MXU matmuls
     "MXU_CROP": "0",        # one-hot-matmul random crop
+    # process infrastructure
+    "COMPILE_CACHE": "",    # persistent XLA compile cache: "" = on at the
+                            # default dir, "0" = off, else = cache dir
 }
 
 #: knobs that change the STRUCTURE of saved state (opt_state pytree shape):
@@ -101,6 +105,31 @@ def apply_config(section: Mapping[str, Any] | None) -> Dict[str, str]:
             if _PREFIX + name not in os.environ:
                 KNOBS[name] = _coerce(value)
     return snapshot()
+
+
+def enable_compile_cache() -> str | None:
+    """Point JAX at a persistent on-disk compilation cache.
+
+    The axon TPU backend compiles through a remote tunnel — first compiles
+    of the big train-step graphs take MINUTES and, without this, every new
+    process pays them again (a single perf-script variant measured >9.7 min
+    cold vs seconds warm).  Called at package import; ``CONTRASTYOU_COMPILE_
+    CACHE=0`` disables, a path value overrides the default location.  The
+    2-second min-compile-time gate keeps tiny CPU test compiles off disk.
+    """
+    value = os.environ.get(_PREFIX + "COMPILE_CACHE", KNOBS["COMPILE_CACHE"])
+    if value == "0":
+        return None
+    path = os.path.expanduser(
+        value or os.path.join("~", ".cache", "contrastyou_tpu", "xla"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        import jax
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - read-only FS / ancient jax
+        return None
+    return path
 
 
 def _coerce(value: Any) -> str:

@@ -77,6 +77,10 @@ def timed(name, chain, st):
     float(st[1])
     per = (time.perf_counter() - t0) / (CALLS * INNER)
     print(f"{name:>28}: {per * 1e3:8.2f} ms/step")
+    tdir = os.environ.get("CONTRASTYOU_TRACE_DIR")
+    if tdir:
+        from _trace_util import trace_chain
+        trace_chain(chain, st, tdir)
     return per
 
 
