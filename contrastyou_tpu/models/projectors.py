@@ -77,12 +77,28 @@ class DenseProjectionHead(nn.Module):
 
     @nn.compact
     def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
+        from ..perf import get as perf_knob
         x = features
         if self.head_type == "mlp":
             x = nn.Conv(self.hidden_dim, (1, 1))(x)
             x = nn.leaky_relu(x, 0.01)
+        # A 1x1 conv is a pure per-pixel channel map, and adaptive AVERAGE
+        # pooling is a linear spatial mean, so they commute exactly in real
+        # arithmetic: pool(Wx + b) == W pool(x) + b.  Pooling FIRST means the
+        # output conv runs on the [B, oh, ow, C] grid instead of the full
+        # feature resolution — at the decoder-pretrain shape this deletes the
+        # f32 [96, 224, 224, 256] activation (and its backward), the single
+        # largest block of the 458 ms step (round-4 trace).  Param structure
+        # and values are IDENTICAL either way; float sums reassociate only.
+        # CONTRASTYOU_POOL_EARLY=0 restores the reference operation order
+        # (ref: contrastyou/projectors/heads.py:104-127 convs-then-pool).
+        early = (self.pool_name == "adaptive_avg"
+                 and perf_knob("POOL_EARLY") != "0")
+        if early:
+            x = _pool(x, self.pool_name, self.spatial_size)
         x = nn.Conv(self.output_dim, (1, 1))(x)
-        x = _pool(x, self.pool_name, self.spatial_size)
+        if not early:
+            x = _pool(x, self.pool_name, self.spatial_size)
         return l2_normalize(x, axis=-1) if self.normalize else x
 
 

@@ -58,6 +58,9 @@ KNOBS: Dict[str, str] = {
     "IIC_MERGED": "",       # "" auto: fused Pallas IIC kernel on TPU
     "IIC_BF16": "1",        # bf16 feature path into the IIC loss
     "NCE_BF16": "1",        # bf16 feature warp in dense InfoNCE
+    "POOL_EARLY": "1",      # avg-pool before the output 1x1 conv in
+                            # DenseProjectionHead (exact commute; kills the
+                            # full-res f32 projection activations)
     "FAST_WARP": "",        # "" auto: two-pass nearest warp on TPU
     # host->device input pipeline (data/wire.py)
     "WIRE_U8": "1",         # pack f32 k/255 images + small ints as u8/u16

@@ -111,6 +111,35 @@ def test_dense_projection_head_grid():
     np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, rtol=1e-5)
 
 
+def test_dense_projection_pool_early_matches_reference_order(monkeypatch):
+    """POOL_EARLY commutes the output 1x1 conv with adaptive avg pooling —
+    value AND grad must match the reference convs-then-pool order (float
+    reassociation only).  Non-divisible grids exercise the torch-style
+    uneven pooling bins; max pooling must be left untouched."""
+    for pool, hw in (("adaptive_avg", 16), ("adaptive_avg", 15),
+                     ("adaptive_max", 16)):
+        head = DenseProjectionHead(output_dim=16, spatial_size=(4, 4),
+                                   pool_name=pool)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, hw, hw, 8))
+        vars_ = head.init(jax.random.PRNGKey(0), x)
+
+        def loss(v, xx):
+            return (head.apply(v, xx) ** 2).sum()
+
+        outs = {}
+        for knob in ("1", "0"):
+            monkeypatch.setenv("CONTRASTYOU_POOL_EARLY", knob)
+            outs[knob] = (head.apply(vars_, x),
+                          jax.grad(loss, argnums=(0, 1))(vars_, x))
+        np.testing.assert_allclose(np.asarray(outs["1"][0]),
+                                   np.asarray(outs["0"][0]),
+                                   atol=2e-6, err_msg=pool)
+        for g1, g0 in zip(jax.tree.leaves(outs["1"][1]),
+                          jax.tree.leaves(outs["0"][1])):
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                       atol=2e-5, err_msg=pool)
+
+
 def test_cluster_head_simplex():
     head = ClusterHead(num_clusters=5, num_subheads=3)
     x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 16))
