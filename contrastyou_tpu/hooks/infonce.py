@@ -127,9 +127,11 @@ class INFONCEHook(TrainerHook):
         # projector promotes back to f32 (f32 params).
         import os
         mdt = getattr(getattr(ctx.bundle, "model", None), "dtype", None)
-        # dense (decoder) hooks only: DenseProjectionHead convs FIRST (f32
-        # promotion) then pools; the encoder ProjectionHead pools the raw
-        # features, which must stay f32 accumulation (and its 14^2 taps
+        # dense (decoder) hooks only: DenseProjectionHead's hidden conv
+        # promotes to f32 before any pooling (and under POOL_EARLY the head
+        # upcasts bf16 itself before an early pool), so the spatial mean
+        # always accumulates in f32; the encoder ProjectionHead pools the
+        # raw features, which must stay f32 accumulation (and its 14^2 taps
         # are too small to matter anyway)
         if (mdt == jnp.bfloat16 and feat.dtype == jnp.float32
                 and not self._is_encoder

@@ -95,6 +95,15 @@ class DenseProjectionHead(nn.Module):
         early = (self.pool_name == "adaptive_avg"
                  and perf_knob("POOL_EARLY") != "0")
         if early:
+            # With head_type="mlp" the hidden conv has already promoted x to
+            # f32 (f32 params); with a linear head a bf16 input would reach
+            # the pool directly and accumulate large spatial means (up to
+            # 196 elements at the 224^2/(16,16) shape) in bf16 — a precision
+            # regression the reference conv-then-pool order avoids. Upcast
+            # first: XLA fuses the convert into the reduce, so no full-res
+            # f32 tensor ever lands in HBM (advisor r4).
+            if x.dtype == jnp.bfloat16:
+                x = x.astype(jnp.float32)
             x = _pool(x, self.pool_name, self.spatial_size)
         x = nn.Conv(self.output_dim, (1, 1))(x)
         if not early:

@@ -100,37 +100,70 @@ def apply_config(section: Mapping[str, Any] | None) -> Dict[str, str]:
     channel). Returns the resulting snapshot. Unknown keys error — typos in
     perf knobs must not silently no-op."""
     if section:
+        changed = set()
         for key, value in section.items():
             name = str(key).upper()
             if name not in KNOBS:
                 raise KeyError(
                     f"Perf.{key}: unknown knob (known: {sorted(KNOBS)})")
             if _PREFIX + name not in os.environ:
+                if KNOBS[name] != _coerce(value):
+                    changed.add(name)
                 KNOBS[name] = _coerce(value)
+        # COMPILE_CACHE runs once at package import from the then-current
+        # value; a config-file change must re-apply it or it silently no-ops
+        # (advisor r4). Env still wins inside enable_compile_cache itself.
+        if "COMPILE_CACHE" in changed:
+            enable_compile_cache(force=True)
     return snapshot()
 
 
-def enable_compile_cache() -> str | None:
+#: path we last pointed jax_compilation_cache_dir at (None = not by us).
+_cache_dir_set: str | None = None
+
+
+def enable_compile_cache(force: bool = False) -> str | None:
     """Point JAX at a persistent on-disk compilation cache.
 
     The axon TPU backend compiles through a remote tunnel — first compiles
     of the big train-step graphs take MINUTES and, without this, every new
     process pays them again (a single perf-script variant measured >9.7 min
-    cold vs seconds warm).  Called at package import; ``CONTRASTYOU_COMPILE_
-    CACHE=0`` disables, a path value overrides the default location.  The
-    2-second min-compile-time gate keeps tiny CPU test compiles off disk.
+    cold vs seconds warm).  Called at package import and re-invoked by
+    :func:`apply_config` when a ``Perf: compile_cache:`` entry changes the
+    knob; ``CONTRASTYOU_COMPILE_CACHE=0`` disables, a path value overrides
+    the default location.  If an embedding application already set
+    ``jax_compilation_cache_dir`` itself, we leave it alone (unless we were
+    the ones who set it and ``force`` asks for a re-apply).  The 2-second
+    min-compile-time gate keeps tiny CPU test compiles off disk.
     """
+    global _cache_dir_set
     value = os.environ.get(_PREFIX + "COMPILE_CACHE", KNOBS["COMPILE_CACHE"])
-    if value == "0":
+    try:
+        import jax
+        current = jax.config.jax_compilation_cache_dir
+    except Exception:  # pragma: no cover - ancient jax
         return None
+    if value == "0":
+        if _cache_dir_set is not None and current == _cache_dir_set:
+            jax.config.update("jax_compilation_cache_dir", None)
+            _cache_dir_set = None
+        return None
+    if current is not None and current != _cache_dir_set:
+        return current  # an embedding app set its own cache dir — keep it
     path = os.path.expanduser(
         value or os.path.join("~", ".cache", "contrastyou_tpu", "xla"))
+    if current == path and not force:
+        return path
     try:
         os.makedirs(path, exist_ok=True)
-        import jax
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:  # pragma: no cover - read-only FS / ancient jax
+        _cache_dir_set = path
+    except Exception as exc:  # pragma: no cover - read-only FS
+        import logging
+        logging.getLogger(__name__).warning(
+            "persistent XLA compile cache disabled (%s): %s",
+            path, exc)
         return None
     return path
 

@@ -140,6 +140,25 @@ def test_dense_projection_pool_early_matches_reference_order(monkeypatch):
                                        atol=2e-5, err_msg=pool)
 
 
+def test_dense_projection_pool_early_linear_bf16_upcasts(monkeypatch):
+    """A linear head has no hidden conv to promote bf16 features to f32, so
+    the early pool must upcast before accumulating spatial means (advisor
+    r4): the bf16-input result must track the f32-input result to f32-mean
+    accuracy, not bf16-mean accuracy."""
+    monkeypatch.setenv("CONTRASTYOU_POOL_EARLY", "1")
+    head = DenseProjectionHead(output_dim=16, head_type="linear",
+                               spatial_size=(2, 2), normalize=False)
+    x32 = jax.random.normal(jax.random.PRNGKey(1), (2, 28, 28, 8)) * 100.0
+    vars_ = head.init(jax.random.PRNGKey(0), x32)
+    ref = head.apply(vars_, x32)
+    out = head.apply(vars_, x32.astype(jnp.bfloat16))
+    assert out.dtype == jnp.float32
+    # input quantization to bf16 costs ~1e-2 relative; a bf16 196-element
+    # mean accumulation would cost ~1e-1 and fail this bound
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_cluster_head_simplex():
     head = ClusterHead(num_clusters=5, num_subheads=3)
     x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 16))

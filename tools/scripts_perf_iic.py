@@ -6,7 +6,8 @@ read): (a) full semi step with both hooks, (b) consistency-only step,
 (c) the isolated dense-cluster pipeline (DenseClusterHead projection +
 softmax + iid_segmentation_loss fwd+bwd) at the same tensor shapes.
 
-Optionally set CONTRASTYOU_TRACE_DIR to dump a profiler trace of (a).
+Optionally set CONTRASTYOU_TRACE_DIR to dump a profiler trace of EVERY
+selected variant (one capture per timed chain, attributed individually).
 """
 import os
 import sys
