@@ -54,10 +54,12 @@ RAW_SIZE = 256
 UNROLL = int(os.environ.get("CONTRASTYOU_BENCH_UNROLL", "8"))
 WARMUP_CALLS = 3
 MEASURE_CALLS = max(200 // UNROLL, 20)
-# default = the HEADLINE path only: the three-mode sweep compiles three
-# distinct programs through the remote tunnel (~25 min); select it
-# explicitly with CONTRASTYOU_BENCH_MODE=all (aux numbers in BENCH_NOTES.md)
-MODE = os.environ.get("CONTRASTYOU_BENCH_MODE", "cached")
+# default = all three paths, so every BENCH_r*.json records cached (the
+# headline) + hostfed + device as aux fields (VERDICT r4 #6). The sweep
+# compiles three distinct programs, but the persistent XLA compile cache
+# (contrastyou_tpu.perf.enable_compile_cache) makes repeat runs minutes,
+# not tens of minutes; CONTRASTYOU_BENCH_MODE=cached selects one path.
+MODE = os.environ.get("CONTRASTYOU_BENCH_MODE", "all")
 
 
 def _build(model_dtype=jnp.bfloat16):
