@@ -79,19 +79,31 @@ class DenseProjectionHead(nn.Module):
     def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
         from ..perf import get as perf_knob
         x = features
+        # bf16 compute for the full-resolution 1x1 convs (f32 params, bf16
+        # dot with f32 accumulation — the model-wide policy): at the
+        # decoder-pretrain shape the f32 [96,224,224,256] hidden/output
+        # activations and their convs were 67.5 ms of the 458 ms step (r5
+        # trace). Auto = TPU only, so the CPU golden-parity suites keep
+        # f32; pooling and l2-normalize stay f32 below either way.
+        # CONTRASTYOU_PROJ_BF16: "" auto (TPU), "1" force, "0" off.
+        raw = perf_knob("PROJ_BF16")
+        bf16 = (features.dtype == jnp.bfloat16 and raw != "0"
+                and (raw == "1" or jax.default_backend() == "tpu"))
+        cdt = jnp.bfloat16 if bf16 else None
         if self.head_type == "mlp":
-            x = nn.Conv(self.hidden_dim, (1, 1))(x)
+            x = nn.Conv(self.hidden_dim, (1, 1), dtype=cdt)(x)
             x = nn.leaky_relu(x, 0.01)
         # A 1x1 conv is a pure per-pixel channel map, and adaptive AVERAGE
         # pooling is a linear spatial mean, so they commute exactly in real
-        # arithmetic: pool(Wx + b) == W pool(x) + b.  Pooling FIRST means the
-        # output conv runs on the [B, oh, ow, C] grid instead of the full
-        # feature resolution — at the decoder-pretrain shape this deletes the
-        # f32 [96, 224, 224, 256] activation (and its backward), the single
-        # largest block of the 458 ms step (round-4 trace).  Param structure
-        # and values are IDENTICAL either way; float sums reassociate only.
-        # CONTRASTYOU_POOL_EARLY=0 restores the reference operation order
-        # (ref: contrastyou/projectors/heads.py:104-127 convs-then-pool).
+        # arithmetic: pool(Wx + b) == W pool(x) + b.  Round-5 on-chip A/B
+        # (tools/scripts_perf_pretrain.py decoder, 2x2 interleaved): the
+        # commute MEASURES WORSE — 462.4 vs 458.4-458.6 ms/step — because
+        # only the small output conv moves; the full-res hidden conv +
+        # ReLU (non-commutable) dominates the head, and pooling early
+        # costs XLA a fusion.  Default OFF = the reference operation order
+        # (ref: contrastyou/projectors/heads.py:104-127 convs-then-pool);
+        # CONTRASTYOU_POOL_EARLY=1 opts in (exact commute, equivalence:
+        # tests/test_models.py).
         early = (self.pool_name == "adaptive_avg"
                  and perf_knob("POOL_EARLY") != "0")
         if early:
@@ -105,9 +117,13 @@ class DenseProjectionHead(nn.Module):
             if x.dtype == jnp.bfloat16:
                 x = x.astype(jnp.float32)
             x = _pool(x, self.pool_name, self.spatial_size)
-        x = nn.Conv(self.output_dim, (1, 1))(x)
+        x = nn.Conv(self.output_dim, (1, 1), dtype=cdt)(x)
         if not early:
+            # pool accumulates up-to-196-element spatial means: always f32
+            if x.dtype == jnp.bfloat16:
+                x = x.astype(jnp.float32)
             x = _pool(x, self.pool_name, self.spatial_size)
+        x = x.astype(jnp.float32)
         return l2_normalize(x, axis=-1) if self.normalize else x
 
 

@@ -166,6 +166,46 @@ def _barrel_shift(x: jnp.ndarray, shift: jnp.ndarray, axis: int,
     return x
 
 
+def _onehot_pass_enabled(channels: int) -> bool:
+    """Route a fast-warp 1-D pass through the one-hot-matmul form for
+    wide-channel maps. The barrel-shift cascade costs ~log2(size) full-map
+    roll+select stages (each ~3 map-reads of HBM traffic, and select_n
+    backward doubles it): for the [B,224,224,32] bf16 feature maps of the
+    dense hooks that is ~12 GB/warp — measured 108 ms of the 458 ms
+    decoder-pretrain step (r5 trace). The one-hot form builds the per-row
+    selection matrix P once (~[B,rows,out,in] bf16, 10x less traffic) and
+    does the shift+candidate-select as ONE MXU contraction; its cost is
+    C-independent, so it loses at C=1 images / C=4 logit maps (P dwarfs
+    the 3-candidate tensor) and wins from C≈8 up.
+    CONTRASTYOU_WARP_ONEHOT: "" auto (C >= 8), "1" always, "0" never."""
+    raw = perf_knob("WARP_ONEHOT")
+    if raw == "0":
+        return False
+    if raw == "1":
+        return True
+    return channels >= 8
+
+
+def _pass_1d_onehot(x: jnp.ndarray, k: jnp.ndarray, r: jnp.ndarray,
+                    n: jnp.ndarray, src: jnp.ndarray, axis: int,
+                    size: int) -> jnp.ndarray:
+    """One-hot-matmul evaluation of a fast-warp 1-D pass: the true input
+    index ``mod(src + n - 1, size)`` (``src = r + k`` already folds the
+    integer row shift) becomes a one-hot selection matrix contracted on the
+    MXU — bitwise-identical to the barrel-shift + 3-candidate path (each
+    output is exactly one input value; the validity mask zeroes the same
+    wrap-arounds)."""
+    idx = jnp.mod(src + (n - 1), size)
+    valid = ((src + (n - 1) >= 0) & (src + (n - 1) < size))
+    grid = jnp.arange(size)
+    sel = ((idx[..., None] == grid) & valid[..., None]).astype(x.dtype)
+    if axis == 2:
+        # sel [B, H, out, W]: out[b,h,o,c] = sum_w sel * x[b,h,w,c]
+        return jnp.einsum("bhow,bhwc->bhoc", sel, x)
+    # sel [B, out, W, H]: out[b,o,w,c] = sum_h sel * x[b,h,w,c]
+    return jnp.einsum("bowh,bhwc->bowc", sel, x)
+
+
 def _pass_1d(x: jnp.ndarray, slope: jnp.ndarray, rowc: jnp.ndarray,
              const: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Nearest 1-D resample along ``axis`` with the per-sample linear index
@@ -188,6 +228,20 @@ def _pass_1d(x: jnp.ndarray, slope: jnp.ndarray, rowc: jnp.ndarray,
     sp = slope[:, None] * p[None, :]                         # [B, out]
     r = jnp.round(sp).astype(jnp.int32)
     t = sp - r                                               # [-0.5, 0.5]
+    if axis == 2:
+        d = t[:, None, :] + f[:, :, None]                    # [B, H, out]
+        src = (r[:, None, :] + k[:, :, None])                # [B, H, out]
+    else:
+        d = t[:, :, None] + f[:, None, :]                    # [B, out, W]
+        src = (r[:, :, None] + k[:, None, :])                # [B, out, W]
+    # candidate id with jnp.round (half-to-even) semantics at d == +-0.5:
+    # round(m + 0.5) = m when m even, m+1 when m odd (and mirrored at -0.5)
+    odd = (src % 2) == 1
+    n = jnp.where(
+        (d > 0.5) | ((d == 0.5) & odd), 2,
+        jnp.where((d < -0.5) | ((d == -0.5) & odd), 0, 1))   # candidate id
+    if _onehot_pass_enabled(x.shape[-1]):
+        return _pass_1d_onehot(x, k, r, n, src, axis, size)
     xs = _barrel_shift(x, k, axis=axis, size=size)
     # three candidate resamples in[.., r + n, ..] as ONE stacked one-hot
     # wrap the candidate rows mod size: the barrel shift is cyclic, so the
@@ -199,19 +253,9 @@ def _pass_1d(x: jnp.ndarray, slope: jnp.ndarray, rowc: jnp.ndarray,
     sel = sel.astype(x.dtype)
     if axis == 2:
         cand = jnp.einsum("bhwc,bonw->bhonc", xs, sel)       # [B,H,out,3,C]
-        d = t[:, None, :] + f[:, :, None]                    # [B, H, out]
-        src = (r[:, None, :] + k[:, :, None])                # [B, H, out]
     else:
         cand = jnp.einsum("bhwc,bonh->bonwc", xs, sel)       # [B,out,3,W,C]
         cand = jnp.moveaxis(cand, 2, -2)                     # [B,out,W,3,C]
-        d = t[:, :, None] + f[:, None, :]                    # [B, out, W]
-        src = (r[:, :, None] + k[:, None, :])                # [B, out, W]
-    # candidate id with jnp.round (half-to-even) semantics at d == +-0.5:
-    # round(m + 0.5) = m when m even, m+1 when m odd (and mirrored at -0.5)
-    odd = (src % 2) == 1
-    n = jnp.where(
-        (d > 0.5) | ((d == 0.5) & odd), 2,
-        jnp.where((d < -0.5) | ((d == -0.5) & odd), 0, 1))   # candidate id
     oh = (n[..., None] == jnp.arange(3)[None, None, None, :])
     out = (cand * oh[..., None].astype(x.dtype)).sum(-2)
     valid = ((src + (n - 1) >= 0) & (src + (n - 1) < size))

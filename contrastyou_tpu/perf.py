@@ -58,10 +58,21 @@ KNOBS: Dict[str, str] = {
     "IIC_MERGED": "",       # "" auto: fused Pallas IIC kernel on TPU
     "IIC_BF16": "1",        # bf16 feature path into the IIC loss
     "NCE_BF16": "1",        # bf16 feature warp in dense InfoNCE
-    "POOL_EARLY": "1",      # avg-pool before the output 1x1 conv in
-                            # DenseProjectionHead (exact commute; kills the
-                            # full-res f32 projection activations)
+    "PROJ_BF16": "",        # bf16 compute in DenseProjectionHead's 1x1
+                            # convs ("" auto: TPU only; pooling/normalize
+                            # stay f32 — models/projectors.py)
+    "POOL_EARLY": "0",      # avg-pool before the output 1x1 conv in
+                            # DenseProjectionHead (exact commute). MEASURED
+                            # WORSE r5 on the decoder-pretrain step (462.4
+                            # vs 458.4-458.6 ms, 2x2 A/B): only the small
+                            # output conv moves — the full-res f32 HIDDEN
+                            # conv (blocked by its ReLU) dominates, and the
+                            # commute costs XLA a fusion. Default off =
+                            # reference op order (heads.py:104-127).
     "FAST_WARP": "",        # "" auto: two-pass nearest warp on TPU
+    "WARP_ONEHOT": "",      # fast-warp 1-D passes as one-hot MXU matmuls
+                            # for wide-channel maps: "" auto (C>=8),
+                            # "1" always, "0" never (ops/affine.py)
     # host->device input pipeline (data/wire.py)
     "WIRE_U8": "1",         # pack f32 k/255 images + small ints as u8/u16
                             # on the wire (lossless-or-fallback; the tunnel

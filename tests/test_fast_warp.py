@@ -133,3 +133,45 @@ def test_extreme_angle_stays_bounded(img):
     out = np.asarray(af.apply_geometric(img, big, order=0))
     assert np.isfinite(out).all()
     assert np.abs(out).max() <= np.abs(np.asarray(img)).max() + 1e-6
+
+
+def test_onehot_pass_matches_barrel_exactly():
+    """Round-5: wide-channel maps route the 1-D passes through a one-hot
+    MXU contraction (CONTRASTYOU_WARP_ONEHOT) — each output is exactly one
+    input value, so the two forms must agree BITWISE, at every channel
+    width and for both float dtypes."""
+    rng = np.random.default_rng(7)
+    params = af.sample_geo_params(jax.random.PRNGKey(11), B)
+    for C, dtype in ((8, jnp.float32), (32, jnp.float32), (32, jnp.bfloat16)):
+        x = jnp.asarray(rng.standard_normal((B, H, W, C)), dtype)
+        os.environ["CONTRASTYOU_WARP_ONEHOT"] = "1"
+        try:
+            onehot = af.apply_geometric(x, params, order=0)
+        finally:
+            os.environ["CONTRASTYOU_WARP_ONEHOT"] = "0"
+        try:
+            barrel = af.apply_geometric(x, params, order=0)
+        finally:
+            del os.environ["CONTRASTYOU_WARP_ONEHOT"]
+        assert onehot.dtype == dtype
+        np.testing.assert_array_equal(np.asarray(onehot, np.float32),
+                                      np.asarray(barrel, np.float32),
+                                      err_msg=f"C={C} {dtype}")
+
+
+def test_onehot_pass_auto_routing_and_grads():
+    """Auto mode: C>=8 routes one-hot (same values as the barrel path) and
+    gradients flow through the einsum form."""
+    rng = np.random.default_rng(8)
+    params = af.sample_geo_params(jax.random.PRNGKey(12), B)
+    x = jnp.asarray(rng.standard_normal((B, H, W, 16)), jnp.float32)
+    auto = af.apply_geometric(x, params, order=0)       # auto: one-hot
+    os.environ["CONTRASTYOU_WARP_ONEHOT"] = "0"
+    try:
+        barrel = af.apply_geometric(x, params, order=0)
+    finally:
+        del os.environ["CONTRASTYOU_WARP_ONEHOT"]
+    np.testing.assert_array_equal(np.asarray(auto), np.asarray(barrel))
+    g = jax.grad(lambda xx: (af.apply_geometric(xx, params, order=0) ** 2)
+                 .sum())(x)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0

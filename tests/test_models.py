@@ -159,6 +159,27 @@ def test_dense_projection_pool_early_linear_bf16_upcasts(monkeypatch):
                                rtol=2e-2, atol=2e-2)
 
 
+def test_dense_projection_proj_bf16_close_and_f32_pool(monkeypatch):
+    """PROJ_BF16 runs the 1x1 convs in bf16 (f32 accumulation) but pools
+    and normalizes in f32: results track the f32 path to bf16-rounding
+    accuracy and the output dtype stays f32."""
+    head = DenseProjectionHead(output_dim=16, spatial_size=(4, 4))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 28, 28, 8))
+    vars_ = head.init(jax.random.PRNGKey(0), x)
+    monkeypatch.setenv("CONTRASTYOU_PROJ_BF16", "0")
+    ref = head.apply(vars_, x.astype(jnp.bfloat16))
+    monkeypatch.setenv("CONTRASTYOU_PROJ_BF16", "1")
+    out = head.apply(vars_, x.astype(jnp.bfloat16))
+    assert out.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-2, atol=5e-2)
+    # f32 input: the knob must not engage (exact f32 path either way)
+    ref32 = head.apply(vars_, x)
+    monkeypatch.setenv("CONTRASTYOU_PROJ_BF16", "0")
+    np.testing.assert_array_equal(np.asarray(head.apply(vars_, x)),
+                                  np.asarray(ref32))
+
+
 def test_cluster_head_simplex():
     head = ClusterHead(num_clusters=5, num_subheads=3)
     x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 16))
