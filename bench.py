@@ -47,8 +47,12 @@ import numpy as np
 # Slices/sec = (5 labeled + 5 unlabeled) * steps/sec.
 A100_SLICES_PER_SEC = 250.0
 
-BATCH_LABELED = 5
-BATCH_UNLABELED = 5
+# CONTRASTYOU_BENCH_BATCH = total slices/step (split evenly labeled/
+# unlabeled); default 10 = the reference config. The batch-scaling table
+# (VERDICT r4 #5) runs 10/32/64 through this knob with identical semantics.
+_TOTAL_BATCH = int(os.environ.get("CONTRASTYOU_BENCH_BATCH", "10"))
+BATCH_LABELED = _TOTAL_BATCH // 2
+BATCH_UNLABELED = _TOTAL_BATCH - _TOTAL_BATCH // 2
 SIZE = 224
 RAW_SIZE = 256
 UNROLL = int(os.environ.get("CONTRASTYOU_BENCH_UNROLL", "8"))

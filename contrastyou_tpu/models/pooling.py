@@ -11,15 +11,23 @@ def _bin_bounds(in_size: int, out_size: int):
     return starts, ends
 
 
-def adaptive_avg_pool2d(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
-    """NHWC adaptive average pooling matching torch AdaptiveAvgPool2d bins."""
+def adaptive_avg_pool2d(x: jnp.ndarray, out_hw: tuple[int, int],
+                        accum_dtype=None) -> jnp.ndarray:
+    """NHWC adaptive average pooling matching torch AdaptiveAvgPool2d bins.
+
+    ``accum_dtype`` sets the mean's accumulation (and output) dtype without
+    materializing an upcast copy of ``x`` — the convert rides inside the
+    reduction fusion (a separate ``x.astype(f32)`` before a full-res pool
+    measured as an 822 MB materialized copy on TPU, r5 trace)."""
     B, H, W, C = x.shape
     oh, ow = out_hw
     if H % oh == 0 and W % ow == 0:
-        return x.reshape(B, oh, H // oh, ow, W // ow, C).mean(axis=(2, 4))
+        return x.reshape(B, oh, H // oh, ow, W // ow, C).mean(
+            axis=(2, 4), dtype=accum_dtype)
     hs, he = _bin_bounds(H, oh)
     ws, we = _bin_bounds(W, ow)
-    rows = [jnp.stack([x[:, hs[i]:he[i], ws[j]:we[j], :].mean(axis=(1, 2))
+    rows = [jnp.stack([x[:, hs[i]:he[i], ws[j]:we[j], :].mean(
+                          axis=(1, 2), dtype=accum_dtype)
                        for j in range(ow)], axis=1) for i in range(oh)]
     return jnp.stack(rows, axis=1)
 

@@ -37,8 +37,12 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndar
 
 def _pool(x, pool_name: str, spatial_size: Tuple[int, int]):
     if pool_name == "adaptive_avg":
-        return adaptive_avg_pool2d(x, spatial_size)
+        # bf16 inputs accumulate their spatial means in f32 INSIDE the
+        # reduction (no materialized upcast copy — see adaptive_avg_pool2d)
+        accum = jnp.float32 if x.dtype == jnp.bfloat16 else None
+        return adaptive_avg_pool2d(x, spatial_size, accum_dtype=accum)
     if pool_name == "adaptive_max":
+        # max needs no accumulation; order statistics are dtype-exact
         return adaptive_max_pool2d(x, spatial_size)
     if pool_name == "none":
         return x
@@ -106,22 +110,13 @@ class DenseProjectionHead(nn.Module):
         # tests/test_models.py).
         early = (self.pool_name == "adaptive_avg"
                  and perf_knob("POOL_EARLY") != "0")
+        # bf16 inputs never accumulate the up-to-196-element spatial means
+        # in bf16 (advisor r4): _pool runs the mean with f32 accumulation
+        # INSIDE the reduction fusion (no materialized upcast copy).
         if early:
-            # With head_type="mlp" the hidden conv has already promoted x to
-            # f32 (f32 params); with a linear head a bf16 input would reach
-            # the pool directly and accumulate large spatial means (up to
-            # 196 elements at the 224^2/(16,16) shape) in bf16 — a precision
-            # regression the reference conv-then-pool order avoids. Upcast
-            # first: XLA fuses the convert into the reduce, so no full-res
-            # f32 tensor ever lands in HBM (advisor r4).
-            if x.dtype == jnp.bfloat16:
-                x = x.astype(jnp.float32)
             x = _pool(x, self.pool_name, self.spatial_size)
         x = nn.Conv(self.output_dim, (1, 1), dtype=cdt)(x)
         if not early:
-            # pool accumulates up-to-196-element spatial means: always f32
-            if x.dtype == jnp.bfloat16:
-                x = x.astype(jnp.float32)
             x = _pool(x, self.pool_name, self.spatial_size)
         x = x.astype(jnp.float32)
         return l2_normalize(x, axis=-1) if self.normalize else x
