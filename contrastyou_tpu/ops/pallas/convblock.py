@@ -969,11 +969,16 @@ def _plane_conv_bwd(H, W, geo, res, g):
         dk9 = plane_conv_dw(xp, g, gg, tap_offsets(gg.rs))
         dk = dk9.reshape(3, 3, *dk9.shape[1:])
     else:
-        gs = g[:, :, gg.mb:gg.mb + gg.P].astype(jnp.float32)
+        # contract in the STORED bf16 with f32 accumulation: the operands
+        # are bf16-valued, so upcasting adds no information — it only
+        # tripled the MXU passes (f32 dot = 3 bf16 passes) and doubled the
+        # slice read traffic; at pretrain batch 96 the f32 form was 22.7 ms
+        # of dW for Up_conv2 alone (r5 trace)
+        gs = g[:, :, gg.mb:gg.mb + gg.P]
         dks = []
         for off in tap_offsets(gg.rs):
             xs = jax.lax.dynamic_slice_in_dim(xp, gg.mb + off, gg.P, 2)
-            dks.append(jnp.einsum("bim,bom->io", xs.astype(jnp.float32), gs,
+            dks.append(jnp.einsum("bim,bom->io", xs, gs,
                                   preferred_element_type=jnp.float32))
         dk = jnp.stack(dks, 0).reshape(3, 3, *dks[0].shape)
     return dxp, dk.astype(kernel.dtype), None
@@ -1342,11 +1347,12 @@ def _pcts_bwd(H, W, geo, offsets, res, cot):
     if _dw_enabled():
         dk = plane_conv_dw(xp, g, geo, offsets)
     else:
-        gs = g[:, :, geo.mb:geo.mb + geo.P].astype(jnp.float32)
+        # bf16 operands + f32 accumulation (see _plane_conv_bwd)
+        gs = g[:, :, geo.mb:geo.mb + geo.P]
         dks = []
         for off in offsets:
             xs = jax.lax.dynamic_slice_in_dim(xp, geo.mb + off, geo.P, 2)
-            dks.append(jnp.einsum("bim,bom->io", xs.astype(jnp.float32), gs,
+            dks.append(jnp.einsum("bim,bom->io", xs, gs,
                                   preferred_element_type=jnp.float32))
         dk = jnp.stack(dks, 0)
     return dxp, dk.astype(kernel.dtype), None
@@ -1734,7 +1740,7 @@ def _pcms_bwd(H, W, geo, spec, res, cot):
     dxp = _pcms_impl(g, ktsT, mask, H, W, geo, plan_T, order_T)[0]
     # dk: one quarter-size sliced einsum per plan entry
     gcore = [g[:, q * cout:(q + 1) * cout,
-               geo.mb:geo.mb + geo.P].astype(jnp.float32)
+               geo.mb:geo.mb + geo.P]
              for q in range(Q)]
     dkts = []
     for q, entries in enumerate(plan):
@@ -1742,7 +1748,7 @@ def _pcms_bwd(H, W, geo, spec, res, cot):
         for (t, bl, off) in entries:
             xs = jax.lax.dynamic_slice_in_dim(
                 xp[:, bl * cinr:(bl + 1) * cinr], geo.mb + off, geo.P, 2)
-            dt = jnp.einsum("bil,bol->io", xs.astype(jnp.float32), gcore[q],
+            dt = jnp.einsum("bil,bol->io", xs, gcore[q],
                             preferred_element_type=jnp.float32)
             slots[t] = dt if slots[t] is None else slots[t] + dt
         dkts.append(jnp.stack(
