@@ -230,7 +230,7 @@ def fold_kernel_transposed(kernel: jnp.ndarray) -> jnp.ndarray:
 def _conv_plane_kernel_dyg(x_ref, w2t_ref, a_ref, b_ref, mask_ref,
                            out_ref, part_ref, patches,
                            *, rs: int, cin: int, crep: int, apply_bn: bool,
-                           mb: int, pad: int):
+                           mb: int, pad: int, nmerge: bool = False):
     """dy-grouped 3x3 variant of :func:`_conv_plane_kernel`: THREE input
     rolls (one per kernel ROW, window starting one lane early) into a shared
     ``[3*rows, mb+128]`` patches scratch, then three K=3*rows matmuls (one
@@ -261,15 +261,32 @@ def _conv_plane_kernel_dyg(x_ref, w2t_ref, a_ref, b_ref, mask_ref,
         if crep > 1:
             blk = pltpu.repeat(blk, crep, 0)
         patches[pl.ds(r * rows, rows), :] = blk
-    acc = None
-    for dx in range(3):                      # kernel column
-        wsl = w2t_ref[pl.ds(dx * 3 * rows, 3 * rows), :]
+    if nmerge:
+        # N-merged form: the three dx-dots contract the SAME patches with
+        # different weight slices, so they are ONE dot with the dx groups
+        # concatenated along the output dim — [3*rows, 3*Cout]. At Cout=32
+        # each separate dot filled only a quarter of the MXU's 128-wide
+        # output tile (the r5 floor analysis put the wide plane levels AT
+        # that padded floor); merging pads 96->128 instead of 3x(32->128).
+        # The dx lane shifts move to f32 sublane slices of the one result.
+        cout = out_ref.shape[1]
         z = jax.lax.dot_general(
-            wsl, patches[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [Cout, mbw]
-        if dx:
-            z = pltpu.roll(z, (-dx) % mbw, 1)
-        acc = z if acc is None else acc + z
+            w2t_ref[:], patches[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [3*Cout, mbw]
+        acc = z[:cout, :]
+        for dx in (1, 2):
+            acc = acc + pltpu.roll(z[dx * cout:(dx + 1) * cout, :],
+                                   (-dx) % mbw, 1)
+    else:
+        acc = None
+        for dx in range(3):                  # kernel column
+            wsl = w2t_ref[pl.ds(dx * 3 * rows, 3 * rows), :]
+            z = jax.lax.dot_general(
+                wsl, patches[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [Cout, mbw]
+            if dx:
+                z = pltpu.roll(z, (-dx) % mbw, 1)
+            acc = z if acc is None else acc + z
     out = acc[:, :mb].astype(out_ref.dtype)
     out_ref[0, :, :] = out
     m_out = pltpu.roll(mw, (-pad) % width, 1)[0, :mb]
@@ -415,8 +432,15 @@ def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
         # dy-grouped transposed fold: columns (dy, dx, rows) -> sublanes
         # (dx, dy, rows), Cout -> lanes (see _conv_plane_kernel_dyg)
         rows = cin * crep
-        w2 = (w2.reshape(cout, 3, 3, rows).transpose(2, 1, 3, 0)
-              .reshape(9 * rows, cout))
+        w4 = w2.reshape(cout, 3, 3, rows).transpose(2, 1, 3, 0)
+        if _nmerge_enabled(cout):
+            # N-merged fold [3*rows, 3*cout]: dx groups side by side in
+            # the output dim so the kernel runs ONE dot (see the kernel)
+            dyg = "m"
+            w2 = (w4.reshape(3, 3 * rows, cout).transpose(1, 0, 2)
+                  .reshape(3 * rows, 3 * cout))
+        else:
+            w2 = w4.reshape(9 * rows, cout)
     f = _partitioned_conv(g.rs, apply_bn, str(jnp.dtype(xp.dtype)),
                           g.mb, g.pad, tuple(offsets), dyg)
     return f(xp, w2.astype(xp.dtype),
@@ -427,6 +451,19 @@ def conv_plane_geo(xp: jnp.ndarray, w2: jnp.ndarray, mask: jnp.ndarray,
 def _dyg_enabled() -> bool:
     import os
     return perf_knob("PLANE_DYG") != "0"
+
+
+def _nmerge_enabled(cout: int) -> bool:
+    """N-merged dyg dot (one [3*rows, 3*Cout] dot instead of three
+    [3*rows, Cout] dots). CONTRASTYOU_PLANE_NMERGE: "" auto — on when
+    3*Cout still gains output-tile occupancy (Cout < 128; at Cout >= 128
+    each split dot already fills the 128-wide tile); "1" always, "0" off."""
+    raw = perf_knob("PLANE_NMERGE")
+    if raw == "0":
+        return False
+    if raw == "1":
+        return True
+    return cout < 128
 
 
 def _conv_plane_call(xp, w2, a, b, mask, *, rs: int, apply_bn: bool,
@@ -458,12 +495,15 @@ def _conv_plane_call(xp, w2, a, b, mask, *, rs: int, apply_bn: bool,
                                memory_space=pltpu.VMEM)
         scratch = pltpu.VMEM((kcols, mb), xp.dtype)
     elif dyg:
-        kcols, cout = w2.shape               # transposed dy-grouped fold
-        crep = kcols // (9 * cin)
+        kcols, wcols = w2.shape              # transposed dy-grouped fold
+        nmerge = dyg == "m"
+        # merged: w2 [3*rows, 3*cout]; split: w2 [9*rows, cout]
+        cout = wcols // 3 if nmerge else wcols
+        crep = kcols // ((3 if nmerge else 9) * cin)
         rows = cin * crep
         kern = partial(_conv_plane_kernel_dyg, rs=rs, cin=cin, crep=crep,
-                       apply_bn=apply_bn, mb=mb, pad=pad)
-        w2_spec = pl.BlockSpec((kcols, cout), lambda bi, ji: (0, 0),
+                       apply_bn=apply_bn, mb=mb, pad=pad, nmerge=nmerge)
+        w2_spec = pl.BlockSpec((kcols, wcols), lambda bi, ji: (0, 0),
                                memory_space=pltpu.VMEM)
         scratch = pltpu.VMEM((3 * rows, mb + 128), xp.dtype)
     else:

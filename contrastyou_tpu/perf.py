@@ -29,6 +29,9 @@ KNOBS: Dict[str, str] = {
     "PLANE_CHAIN": "1",     # keep plane layout across pool/skip boundaries
     "PLANE_UPCONV": "up2",  # plane upsample+conv: "0"|"1"|"up2"
     "PLANE_DYG": "1",       # dy-grouped 3x3 kernel form
+    "PLANE_NMERGE": "",     # one [3r,3Cout] dot instead of three [3r,Cout]
+                            # dots in the dyg kernel ("" auto: Cout<128 —
+                            # fills the MXU's 128-wide output tile)
     "PLANE_ALIGN": "0",     # pad plane rows to 128-multiples
     "PLANE_PARITY": "",     # "" auto: parity chain ON (train + fwd-only;
                             # round-4 flip — wins under the lbuf-weighted

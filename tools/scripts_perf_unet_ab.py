@@ -67,6 +67,9 @@ def build(mode: str):
     # "...-nobnvjp" re-measures the autodiff form
     os.environ["CONTRASTYOU_PLANE_BNVJP"] = (
         "0" if mode.endswith("nobnvjp") else "1")
+    # round-5 N-merged dyg dot; "...-nonmerge" re-measures the 3-dot form
+    os.environ["CONTRASTYOU_PLANE_NMERGE"] = (
+        "0" if mode.endswith("nonmerge") else "")
     # round-4 single-pass dx+dW backward: production default is OFF
     # (measured 15.56 vs 15.01 ms); "...-fusedbwd" re-measures it
     os.environ["CONTRASTYOU_PLANE_FUSEDBWD"] = (
