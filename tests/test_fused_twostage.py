@@ -29,7 +29,13 @@ def _batch(rng):
 
 
 @pytest.mark.parametrize("disable_bn", [False, True])
-@pytest.mark.parametrize("pallas", ["0", "1"])
+@pytest.mark.parametrize("pallas", [
+    "0",
+    # the pallas="1" combos run the plane kernels in interpret mode —
+    # ~5 min of the quick lane on this 1-core host; they live in the
+    # pallas lane with the other interpret-mode kernel suites (r5)
+    pytest.param("1", marks=pytest.mark.pallas),
+])
 def test_fused_matches_sequential(monkeypatch, disable_bn, pallas):
     monkeypatch.setenv("CONTRASTYOU_PALLAS_CONV", pallas)
     model = UNet(input_dim=1, num_classes=4, max_channel=128,

@@ -150,6 +150,7 @@ def test_uamt_mask_metric(stepped):
     assert 0.0 <= float(metrics["uamt/mask"]) <= 1.0
 
 
+@pytest.mark.pallas
 def test_uamt_runs_through_pallas_stage(monkeypatch):
     """Round-3 regression: the UAMT noisy teacher passes must NOT vmap the
     model — the Pallas plane stage is mesh-safe via custom_partitioning,
