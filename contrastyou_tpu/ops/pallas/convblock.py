@@ -604,7 +604,7 @@ def _partitioned_conv(rs: int, apply_bn: bool, _dtype_key: str,
     return fn
 
 
-def _dw_enabled() -> bool:
+def _dw_enabled(batch: int = 0) -> bool:
     """Weight-grad Pallas kernel gate (CONTRASTYOU_PLANE_DW, default OFF).
     Round-3 trace attributed ~5.2 ms of the 28.3 ms step to the XLA dk
     path (9 sliced einsums + [T,Ci,Co]-producing DUS loop fusions), and in
@@ -613,9 +613,16 @@ def _dw_enabled() -> bool:
     (engine/optim.py fuse_small_leaves) also fills: with that landed,
     DW=1 measures 342 vs 346.5 slices/s (three-run A/B, BENCH_NOTES).
     XLA overlaps the einsums with the copies the kernel serializes behind
-    its patches rebuild. Kept as a knob for future toolchains."""
-    import os
-    return perf_knob("PLANE_DW") == "1"
+    its patches rebuild. Round 5: at pretrain batch 96 the einsum form
+    collapses (11.4 vs 6.8 ms per dW, scripts_perf_dw — layout-bound, and
+    dtype/hoisted-transpose variants measure identically) — auto routes
+    the kernel at B >= 32; "" keeps XLA at the reference batch."""
+    raw = perf_knob("PLANE_DW")
+    if raw == "0":
+        return False
+    if raw == "1":
+        return True
+    return batch >= 32
 
 
 def _dw_plane_kernel(x_ref, g_ref, dk_ref, patches,
@@ -1005,7 +1012,7 @@ def _plane_conv_bwd(H, W, geo, res, g):
     # them with copies). CONTRASTYOU_PLANE_DW=1 opts into the fused Pallas
     # dW kernel — measured a net LOSS once the fused optimizer update
     # landed (see _dw_enabled).
-    if _dw_enabled():
+    if _dw_enabled(xp.shape[0]):
         dk9 = plane_conv_dw(xp, g, gg, tap_offsets(gg.rs))
         dk = dk9.reshape(3, 3, *dk9.shape[1:])
     else:
@@ -1384,7 +1391,7 @@ def _pcts_bwd(H, W, geo, offsets, res, cot):
                             H, W, geo=geo, offsets=neg)
     dxp = jnp.where(mask[None] > 0, dxp, 0).astype(xp.dtype)
     # dk[t,i,o] = sum_{b,m} xp[b,i,m+off_t] * g[b,o,m] on the real plane
-    if _dw_enabled():
+    if _dw_enabled(xp.shape[0]):
         dk = plane_conv_dw(xp, g, geo, offsets)
     else:
         # bf16 operands + f32 accumulation (see _plane_conv_bwd)
@@ -1778,11 +1785,32 @@ def _pcms_bwd(H, W, geo, spec, res, cot):
     ktsT = tuple(jnp.stack([kts[q][t].transpose(1, 0) for (q, t) in kmap], 0)
                  for kmap in kt_map)
     dxp = _pcms_impl(g, ktsT, mask, H, W, geo, plan_T, order_T)[0]
+    dkts = []
+    if _dw_enabled(B):
+        # Pallas dW per (parity, input-block) group: patches built once in
+        # VMEM per block, taps merged into the dot's M dim — the einsum
+        # form is layout-bound (r5 scripts_perf_dw: 11.4 vs 6.8 ms at
+        # pretrain batch 96)
+        for q, entries in enumerate(plan):
+            slots = [None] * kts[q].shape[0]
+            bygroup: dict = {}
+            for (t, bl, off) in entries:
+                bygroup.setdefault(bl, []).append((t, off))
+            gq = g[:, q * cout:(q + 1) * cout, :]
+            for bl, touts in bygroup.items():
+                offs = tuple(off for (_, off) in touts)
+                dk = plane_conv_dw(xp[:, bl * cinr:(bl + 1) * cinr], gq,
+                                   geo, offs)
+                for k, (t, _) in enumerate(touts):
+                    slots[t] = dk[k] if slots[t] is None else slots[t] + dk[k]
+            dkts.append(jnp.stack(
+                [s if s is not None else jnp.zeros((cinr, cout), jnp.float32)
+                 for s in slots], 0).astype(kts[q].dtype))
+        return dxp, tuple(dkts), None
     # dk: one quarter-size sliced einsum per plan entry
     gcore = [g[:, q * cout:(q + 1) * cout,
                geo.mb:geo.mb + geo.P]
              for q in range(Q)]
-    dkts = []
     for q, entries in enumerate(plan):
         slots = [None] * kts[q].shape[0]
         for (t, bl, off) in entries:

@@ -45,7 +45,11 @@ KNOBS: Dict[str, str] = {
     "PLANE_POOLVJP": "1",   # scatter-free plane-pool backward
     "PLANE_UPVJP": "1",     # custom upconv-interleave backward
     "PLANE_ILV2": "1",      # two-pass upconv interleave
-    "PLANE_DW": "0",        # Pallas plane weight-grad kernel
+    "PLANE_DW": "",         # Pallas plane weight-grad kernel; "" auto:
+                            # on from batch 32 (the XLA sliced-einsum dW
+                            # is layout-bound there — 11.4 vs 6.8 ms per
+                            # dW at pretrain batch 96, scripts_perf_dw),
+                            # off at the reference batch (r3/r4 A/Bs)
     "PLANE_GEOCOST": "",    # lbuf weight in the plane-geometry cost (float;
                             # "" auto: 1.0 when the parity chain routes,
                             # 0.5 when PLANE_PARITY=0 — the measured-best

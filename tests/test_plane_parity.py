@@ -241,3 +241,33 @@ def test_parity_under_mesh_matches_unsharded(monkeypatch):
     np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
                                rtol=2e-4, atol=2e-4)
     _assert_trees_close(mut_sh, mut_ref)
+
+
+def test_parity_conv_grads_match_with_pallas_dw(monkeypatch):
+    """r5: the parity-multi backward can route its weight grad through the
+    Pallas dW kernel (PLANE_DW, auto from batch 32 — the einsum form is
+    layout-bound at pretrain batch sizes). Grads must match the einsum
+    form exactly enough for f32 accumulation order."""
+    rng = np.random.default_rng(5)
+    B, Hq, Wq, cin, cout = 2, 8, 8, 8, 16
+    geo = cb.pick_geometry(Hq, Wq, max(cin, cout), 4)
+    mask = cb.border_mask(Hq, Wq, geo)
+    x = jnp.asarray(rng.standard_normal((B, 2 * Hq, 2 * Wq, cin)),
+                    jnp.float32)
+    k3 = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1,
+                     jnp.float32)
+
+    def loss_par(x, k):
+        xq = cb.parity_split_to_planes(x, jnp.float32, geo)
+        out, s, sq = cb.parity_conv3x3_stats(xq, k, mask, Hq, Wq, geo)
+        return ((jnp.sin(out) * mask[None, None] * 0.01).sum()
+                + (s * 0.003).sum() + (sq * 0.001).sum())
+
+    monkeypatch.setenv("CONTRASTYOU_PLANE_DW", "0")
+    g0x, g0k = jax.grad(loss_par, (0, 1))(x, k3)
+    monkeypatch.setenv("CONTRASTYOU_PLANE_DW", "1")
+    g1x, g1k = jax.grad(loss_par, (0, 1))(x, k3)
+    np.testing.assert_allclose(np.asarray(g1x), np.asarray(g0x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1k), np.asarray(g0k),
+                               rtol=1e-4, atol=1e-5)
