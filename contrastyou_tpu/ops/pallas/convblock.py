@@ -738,7 +738,7 @@ def plane_conv_dw(xp: jnp.ndarray, g: jnp.ndarray, geo: PlaneGeo,
     return dk[:, 0]
 
 
-def _fusedbwd_enabled() -> bool:
+def _fusedbwd_enabled(batch: int = 0) -> bool:
     """Single-pass dx+dW backward (CONTRASTYOU_PLANE_FUSEDBWD, default
     OFF). The dx transposed-conv kernel already builds the full
     tap-patches of the masked cotangent; the weight grad contracts those
@@ -750,9 +750,17 @@ def _fusedbwd_enabled() -> bool:
     dW's FLOPs equal the conv's, and moving them into the kernel
     SERIALIZES them behind the dx matmul while XLA overlapped the einsums
     with the surrounding copies — the same overlap economics that rejected
-    PLANE_DW in round 3. Kept as a knob for future toolchains;
-    equivalence: tests/test_plane_fused_bwd.py."""
-    return perf_knob("PLANE_FUSEDBWD") == "1"
+    PLANE_DW in round 3. Round 5: at pretrain batch 96 the einsum dW is
+    layout-bound and the economics flip hard — FUSEDBWD=1 took the
+    decoder-pretrain step 320.7 -> 277.9 ms — so "" auto routes the fused
+    kernel from batch 32 (like PLANE_DW); the reference batch keeps the
+    split form. Equivalence: tests/test_plane_fused_bwd.py."""
+    raw = perf_knob("PLANE_FUSEDBWD")
+    if raw == "0":
+        return False
+    if raw == "1":
+        return True
+    return batch >= 32
 
 
 def _fused_bwd_kernel(g_ref, w2t_ref, x_ref, dx_ref, dk_ref, patches,
@@ -994,7 +1002,7 @@ def _plane_conv_bwd(H, W, geo, res, g):
     xp, kernel, mask = res
     gg = geo or _default_geo(H, W)
     g = jnp.where(mask[None] > 0, g, 0).astype(xp.dtype)
-    if _fusedbwd_enabled() and xp.shape[1] >= 8:
+    if _fusedbwd_enabled(xp.shape[0]) and xp.shape[1] >= 8:
         # single-pass dx+dW: the dk contraction rides the dx kernel's
         # cotangent patches (see _fusedbwd_enabled). cin < 8 (the image
         # conv) stays on the split path — a 1-lane dk output tile wastes

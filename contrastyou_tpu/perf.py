@@ -38,10 +38,13 @@ KNOBS: Dict[str, str] = {
                             # geometry: 14.63 vs 15.01 ms whole-model);
                             # "fwd" = fwd-only passes only, "0" = off
     "PLANE_BNVJP": "1",     # residual-free BN+ReLU apply backward
-    "PLANE_FUSEDBWD": "0",  # single-pass dx+dW plane-conv backward
-                            # (measured worse r4: 15.56 vs 15.01 ms — the
-                            # in-kernel dW matmul serializes what XLA
-                            # overlaps; same trap as PLANE_DW)
+    "PLANE_FUSEDBWD": "",   # single-pass dx+dW plane-conv backward; ""
+                            # auto: on from batch 32 (decoder-pretrain
+                            # 320.7 -> 277.9 ms r5 — the einsum dW is
+                            # layout-bound at large batch), off at the
+                            # reference batch (measured worse r4: 15.56
+                            # vs 15.01 ms — the in-kernel dW matmul
+                            # serializes what XLA overlaps there)
     "PLANE_POOLVJP": "1",   # scatter-free plane-pool backward
     "PLANE_UPVJP": "1",     # custom upconv-interleave backward
     "PLANE_ILV2": "1",      # two-pass upconv interleave
