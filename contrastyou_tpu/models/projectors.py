@@ -114,18 +114,9 @@ class DenseProjectionHead(nn.Module):
         # in bf16 (advisor r4): _pool runs the mean with f32 accumulation
         # INSIDE the reduction fusion (no materialized upcast copy).
         if early:
-            if x.dtype == jnp.bfloat16:
-                x = jax.lax.optimization_barrier(x)  # see barrier below
             x = _pool(x, self.pool_name, self.spatial_size)
         x = nn.Conv(self.output_dim, (1, 1), dtype=cdt)(x)
         if not early:
-            if x.dtype == jnp.bfloat16:
-                # keep the full-res activation bf16 in HBM: without the
-                # barrier XLA fuses the pool's f32-accumulation convert
-                # into the conv's output fusion, materializing the f32
-                # copy the bf16 path exists to avoid (r5 trace: an 11 ms
-                # f32[96,224,224,256] conv at the decoder-pretrain shape)
-                x = jax.lax.optimization_barrier(x)
             x = _pool(x, self.pool_name, self.spatial_size)
         x = x.astype(jnp.float32)
         return l2_normalize(x, axis=-1) if self.normalize else x
