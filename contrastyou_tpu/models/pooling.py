@@ -24,19 +24,19 @@ def adaptive_avg_pool2d(x: jnp.ndarray, out_hw: tuple[int, int],
     if H % oh == 0 and W % ow == 0:
         kh, kw = H // oh, W // ow
         if accum_dtype == jnp.float32 and x.dtype == jnp.bfloat16:
-            # bf16 input, f32 accumulation WITHOUT a convert op: the
-            # backend runs a standalone 822 MB convert at ~8x worse than
-            # bandwidth and refuses to fuse it into a bare reduce (r5
-            # decoder traces: 12 ms as an elementwise op, 11 ms fused
-            # into the producing conv). Two ones-vector contractions sum
-            # on the MXU with native f32 accumulation instead; products
-            # bf16*1.0 are exact, so this is the f32 mean up to sum order.
-            y = jnp.einsum("bokwc,k->bowc", x.reshape(B, oh, kh, W, C),
-                           jnp.ones((kh,), x.dtype),
-                           preferred_element_type=jnp.float32)
-            y = jnp.einsum("bowkc,k->bowc", y.reshape(B, oh, ow, kw, C),
-                           jnp.ones((kw,), jnp.float32))
-            return y / float(kh * kw)
+            # bf16 input, f32 accumulation WITHOUT a standalone convert or
+            # a bare reduce: the backend runs an 822 MB convert at ~8x
+            # below bandwidth, won't fuse it into a reduce, and
+            # canonicalizes ones-vector dots back into that convert+reduce
+            # (r5 decoder traces: 12 ms standalone / 11 ms re-fused into
+            # the producing conv / 7.6 ms as a "reduce"). An unrolled
+            # slice-add chain is a pure elementwise DAG — the per-slice
+            # converts ride inside one loop fusion at bandwidth.
+            xr = x.reshape(B, oh, kh, W, C)
+            y = sum(xr[:, :, r].astype(jnp.float32) for r in range(kh))
+            yr = y.reshape(B, oh, ow, kw, C)
+            z = sum(yr[:, :, :, r] for r in range(kw))
+            return z / float(kh * kw)
         return x.reshape(B, oh, kh, ow, kw, C).mean(
             axis=(2, 4), dtype=accum_dtype)
     hs, he = _bin_bounds(H, oh)
