@@ -108,8 +108,14 @@ class DenseProjectionHead(nn.Module):
         # (ref: contrastyou/projectors/heads.py:104-127 convs-then-pool);
         # CONTRASTYOU_POOL_EARLY=1 opts in (exact commute, equivalence:
         # tests/test_models.py).
+        # "" auto follows the compute dtype: in the f32 world the commute
+        # measured worse (462.4 vs 458.4 r5 A/B — it costs a fusion), but
+        # under PROJ_BF16 it deletes the full-res output conv and its
+        # backward outright (decoder-pretrain 273.7 -> 268.7 ms) — each
+        # world keeps its measured winner.
+        raw_early = perf_knob("POOL_EARLY")
         early = (self.pool_name == "adaptive_avg"
-                 and perf_knob("POOL_EARLY") != "0")
+                 and (raw_early == "1" or (raw_early == "" and bf16)))
         # bf16 inputs never accumulate the up-to-196-element spatial means
         # in bf16 (advisor r4): _pool runs the mean with f32 accumulation
         # INSIDE the reduction fusion (no materialized upcast copy).

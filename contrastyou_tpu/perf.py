@@ -71,14 +71,14 @@ KNOBS: Dict[str, str] = {
     "PROJ_BF16": "",        # bf16 compute in DenseProjectionHead's 1x1
                             # convs ("" auto: TPU only; pooling/normalize
                             # stay f32 — models/projectors.py)
-    "POOL_EARLY": "0",      # avg-pool before the output 1x1 conv in
-                            # DenseProjectionHead (exact commute). MEASURED
-                            # WORSE r5 on the decoder-pretrain step (462.4
-                            # vs 458.4-458.6 ms, 2x2 A/B): only the small
-                            # output conv moves — the full-res f32 HIDDEN
-                            # conv (blocked by its ReLU) dominates, and the
-                            # commute costs XLA a fusion. Default off =
-                            # reference op order (heads.py:104-127).
+    "POOL_EARLY": "",       # avg-pool before the output 1x1 conv in
+                            # DenseProjectionHead (exact commute). "" auto
+                            # follows the head's compute dtype — f32 world:
+                            # measured worse (462.4 vs 458.4 ms 2x2 A/B,
+                            # costs a fusion; reference op order kept);
+                            # PROJ_BF16 world: deletes the full-res output
+                            # conv + backward (decoder 273.7 -> 268.7 ms).
+                            # "1"/"0" force (heads.py:104-127 = "0").
     "FAST_WARP": "",        # "" auto: two-pass nearest warp on TPU
     "WARP_ONEHOT": "",      # fast-warp 1-D passes as one-hot MXU matmuls
                             # for wide-channel maps: "" auto (C>=8),
