@@ -622,7 +622,7 @@ def _dw_enabled(batch: int = 0) -> bool:
         return False
     if raw == "1":
         return True
-    return batch >= 32
+    return batch >= 96
 
 
 def _dw_plane_kernel(x_ref, g_ref, dk_ref, patches,
@@ -753,14 +753,16 @@ def _fusedbwd_enabled(batch: int = 0) -> bool:
     PLANE_DW in round 3. Round 5: at pretrain batch 96 the einsum dW is
     layout-bound and the economics flip hard — FUSEDBWD=1 took the
     decoder-pretrain step 320.7 -> 277.9 ms — so "" auto routes the fused
-    kernel from batch 32 (like PLANE_DW); the reference batch keeps the
+    kernel from batch 96 (like PLANE_DW; the bench batch-32/64 cached A/Bs
+    measured the autos NEGATIVE at 32 — 344.9 vs 357.4 slices/s — and
+    ambiguous at 64, so the threshold sits at the measured-win batch); the reference batch keeps the
     split form. Equivalence: tests/test_plane_fused_bwd.py."""
     raw = perf_knob("PLANE_FUSEDBWD")
     if raw == "0":
         return False
     if raw == "1":
         return True
-    return batch >= 32
+    return batch >= 96
 
 
 def _fused_bwd_kernel(g_ref, w2t_ref, x_ref, dx_ref, dk_ref, patches,

@@ -39,7 +39,7 @@ KNOBS: Dict[str, str] = {
                             # "fwd" = fwd-only passes only, "0" = off
     "PLANE_BNVJP": "1",     # residual-free BN+ReLU apply backward
     "PLANE_FUSEDBWD": "",   # single-pass dx+dW plane-conv backward; ""
-                            # auto: on from batch 32 (decoder-pretrain
+                            # auto: on from batch 96 (decoder-pretrain
                             # 320.7 -> 277.9 ms r5 — the einsum dW is
                             # layout-bound at large batch), off at the
                             # reference batch (measured worse r4: 15.56
@@ -49,7 +49,7 @@ KNOBS: Dict[str, str] = {
     "PLANE_UPVJP": "1",     # custom upconv-interleave backward
     "PLANE_ILV2": "1",      # two-pass upconv interleave
     "PLANE_DW": "",         # Pallas plane weight-grad kernel; "" auto:
-                            # on from batch 32 (the XLA sliced-einsum dW
+                            # on from batch 96 (the XLA sliced-einsum dW
                             # is layout-bound there — 11.4 vs 6.8 ms per
                             # dW at pretrain batch 96, scripts_perf_dw),
                             # off at the reference batch (r3/r4 A/Bs)
