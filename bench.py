@@ -241,13 +241,22 @@ def bench_device(bundle, hooks, optimizer, state):
 
 def main() -> None:
     results = {}
+    errors = {}
     runs = {"cached": bench_cached, "hostfed": bench_hostfed,
             "device": bench_device}
     wanted = runs if MODE == "all" else {MODE: runs[MODE]}
     for name, fn in wanted.items():
-        bundle, hooks, optimizer, state = _build()
-        results[name] = round(fn(bundle, hooks, optimizer, state), 2)
+        # one mode dying (the remote-compile tunnel throws transient
+        # INTERNAL errors under load) must not lose the whole sweep —
+        # record what succeeded and flag the rest
+        try:
+            bundle, hooks, optimizer, state = _build()
+            results[name] = round(fn(bundle, hooks, optimizer, state), 2)
+        except Exception as exc:  # pragma: no cover - transient backend
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
+    if not results:
+        raise SystemExit(f"all bench modes failed: {errors}")
     headline = results.get("cached") or next(iter(results.values()))
     out = {
         "metric": "acdc_semi_train_slices_per_sec_per_chip_e2e",
@@ -257,6 +266,8 @@ def main() -> None:
     }
     for name, v in results.items():
         out[f"aux_{name}"] = v
+    for name, err in errors.items():
+        out[f"aux_{name}_error"] = err
     print(json.dumps(out))
 
 
