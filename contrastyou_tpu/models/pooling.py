@@ -32,6 +32,11 @@ def adaptive_avg_pool2d(x: jnp.ndarray, out_hw: tuple[int, int],
             # the producing conv / 7.6 ms as a "reduce"). An unrolled
             # slice-add chain is a pure elementwise DAG — the per-slice
             # converts ride inside one loop fusion at bandwidth.
+            # NOTE r5: a strided-slice variant (x[:, r::kh], no reshape)
+            # measured WORSE (301.9 vs 268.7 ms decoder step) — the
+            # strided H-slices of the conv layout each materialize, while
+            # the one reshape copy (7.5 ms) at least amortizes over all
+            # kh slice-adds. Kept as the measured-best form.
             xr = x.reshape(B, oh, kh, W, C)
             y = sum(xr[:, :, r].astype(jnp.float32) for r in range(kh))
             yr = y.reshape(B, oh, ow, kw, C)
